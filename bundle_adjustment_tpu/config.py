@@ -1,0 +1,185 @@
+"""Typed configuration for the TPU SfM/VO engine.
+
+The reference keeps its knobs in a constants module plus hard-coded dicts in
+``main`` (ref: src/parameters.py:1-21, src/main.py:27-41); the legacy scripts
+carry per-dataset deltas (ratio 0.5/0.6/0.75, essential threshold 0.5/1.0/3.0,
+reliability gate 0.4/0.7 — ref: legacy/local_BA_sparsity.py:359,
+legacy/local_BA_sparsity_images.py:340,618, legacy/local_BA.py:503).  Here all
+of that is one frozen dataclass with named per-dataset presets, plus the
+static-shape capacities the TPU design needs (the reference has none because
+it is fully dynamic Python).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraModel:
+    """Pinhole intrinsics, zero distortion (the only model the reference uses:
+    dist_coeffs are all-zero at src/main.py:41)."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int = 1280
+    height: int = 720
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float64,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeCriteria:
+    """Ordered keyframe triggers (ref: src/keyframe_detector.py:36-86,
+    thresholds from src/main.py:27-33)."""
+
+    min_parallax_deg: float = 1.0
+    min_tracked_for_parallax: int = 20
+    min_median_displacement_px: float = 20.0
+    min_rotation_rad: float = 0.15
+    min_feature_ratio: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Windowed local BA settings (ref: src/bundle_adjuster.py:122-193,
+    src/parameters.py:19)."""
+
+    window_size: int = 5          # adjustable KFs per window; oldest is the fixed gauge anchor
+    max_iterations: int = 50      # mirrors scipy max_nfev=50 (src/bundle_adjuster.py:173)
+    xtol: float = 1e-5
+    ftol: float = 1e-5
+    huber_delta: float = 1.0      # scipy loss='huber' default f_scale
+    # LM damping schedule
+    lambda_init: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    lambda_min: float = 1e-10
+    lambda_max: float = 1e8
+    # static capacities for the windowed problem (padded, masked)
+    max_points: int = 8192        # map points per window
+    max_obs: int = 32768          # observations per window
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraModel
+    keyframe: KeyframeCriteria = KeyframeCriteria()
+    ba: BAConfig = BAConfig()
+
+    # feature extraction (ref: src/features.py:12 default 3000; driver uses
+    # 4000 at src/main.py:60).  num_features is the static keypoint capacity.
+    num_features: int = 4000
+    fast_threshold: int = 20
+    pyramid_levels: int = 8
+    pyramid_scale: float = 1.2
+
+    # matching (ref: src/features.py:31-37)
+    ratio_test: float = 0.75
+    cross_check: bool = False
+
+    # essential-matrix RANSAC (ref: src/pose_estimator.py:27)
+    ransac_prob: float = 0.999
+    ransac_threshold_px: float = 3.0
+    ransac_iters: int = 1024      # static hypothesis batch (vmapped)
+
+    # PnP RANSAC (ref: src/pose_estimator.py:72-81)
+    pnp_iters: int = 128
+    pnp_reproj_err_px: float = 8.0
+
+    # frame reliability gates (ref: src/parameters.py:18,20-21, src/pipeline.py:79-87)
+    min_tracked_features: int = 20
+    pose_inlier_ratio: float = 0.7
+    pose_inlier_numbers: int = 20
+
+    # relocalization (lehman_indoor config; built fresh per SURVEY §5)
+    reloc_enabled: bool = False
+    reloc_bank_size: int = 8      # recent keyframes searched on tracking loss
+
+    # map-point culling (lehman long-sequence config)
+    cull_enabled: bool = False
+    cull_min_observations: int = 2
+    cull_max_reproj_err_px: float = 8.0
+
+    # distributed mesh (data-parallel x model/point-parallel), (1,1) = single chip
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+    # output / debug artifacts
+    output_dir: str = "output_map"
+    debug: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Per-dataset presets mirroring the reference's configurations
+# ---------------------------------------------------------------------------
+
+#: video_0001 / lehman camera (ref: src/main.py:36-41)
+CAMERA_LEHMAN = CameraModel(fx=912.7816, fy=913.0293, cx=650.2930, cy=362.7243)
+
+#: srge_lab / desk camera (ref: legacy/local_BA.py:550-554)
+CAMERA_DESK = CameraModel(fx=431.40, fy=431.40, cx=640.0, cy=360.0)
+
+#: Oxford dinosaur camera (ref: legacy/mapping_mvs.py:158-162)
+CAMERA_DINOSAUR = CameraModel(fx=2360.13, fy=2360.13, cx=360.0, cy=288.0, width=720, height=576)
+
+
+def preset_video(camera: CameraModel = CAMERA_LEHMAN) -> PipelineConfig:
+    """Full VO pipeline on video, sliding-window BA (BASELINE config 3)."""
+    return PipelineConfig(camera=camera)
+
+
+def preset_desk() -> PipelineConfig:
+    """desk_images 3-frame run: every frame a keyframe, permissive gates
+    (ref: legacy/local_BA_sparsity_images.py:340,416,427-429,618)."""
+    return PipelineConfig(
+        camera=CAMERA_DESK,
+        ratio_test=0.60,
+        ransac_threshold_px=0.5,
+        min_tracked_features=1,
+        pose_inlier_ratio=0.0,
+        pose_inlier_numbers=5,
+        keyframe=KeyframeCriteria(
+            min_parallax_deg=0.0,
+            min_median_displacement_px=0.0,
+            min_rotation_rad=0.0,
+            min_feature_ratio=1.1,  # ratio is always < 1.1 → every frame triggers
+        ),
+        ba=BAConfig(window_size=5, max_points=4096, max_obs=16384),
+    )
+
+
+def preset_scout() -> PipelineConfig:
+    """scout_images short sequence: keyframe detection + PnP pose chain
+    (BASELINE config 2)."""
+    return PipelineConfig(
+        camera=CAMERA_DESK,
+        min_tracked_features=8,
+        pose_inlier_ratio=0.4,
+        pose_inlier_numbers=8,
+        ba=BAConfig(window_size=5, max_points=4096, max_obs=16384),
+    )
+
+
+def preset_lehman_indoor() -> PipelineConfig:
+    """Long sequence: culling + relocalization on match failure (config 4)."""
+    return PipelineConfig(
+        camera=CAMERA_LEHMAN,
+        reloc_enabled=True,
+        cull_enabled=True,
+    )
+
+
+def preset_multihost(mesh_shape: Tuple[int, int]) -> PipelineConfig:
+    """lehmanL multi-host run: partitioned windows + distributed Schur BA
+    (config 5)."""
+    return PipelineConfig(camera=CAMERA_LEHMAN, mesh_shape=mesh_shape)

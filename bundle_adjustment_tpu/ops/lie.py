@@ -1,0 +1,156 @@
+"""so(3)/SE(3) Lie-group operations: closed-form Rodrigues exp/log maps.
+
+TPU-native replacement for cv2.Rodrigues (ref call sites:
+src/bundle_adjuster.py:59,157,235 and src/keyframe_detector.py:77).  Unlike
+the OpenCV binding these are differentiable — the BA residual is autodiff'd
+through ``so3_exp`` instead of finite-differenced.
+
+All functions are dtype-preserving, jit/vmap/grad-safe, and use Taylor
+expansions near ``theta = 0`` guarded with ``jnp.where`` on both branches so
+gradients stay finite.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+# 3x3 matmuls are tiny — force full f32 precision so they don't get routed
+# through bf16 MXU passes on TPU (1e-3-level error would corrupt poses).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
+
+def so3_hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of a 3-vector: hat(w) @ v == cross(w, v)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], axis=-1),
+            jnp.stack([wz, zero, -wx], axis=-1),
+            jnp.stack([-wy, wx, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector (axis-angle, |w| = angle in radians) -> rotation matrix.
+
+    Rodrigues: R = I + sin(t)/t * W + (1-cos(t))/t^2 * W^2, W = hat(w).
+    Near t=0 uses the 2nd-order Taylor coefficients (1 - t^2/6, 1/2 - t^2/24).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)  # guarded sqrt; exact value unused near 0
+    small = theta2 < _EPS
+
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(_EPS * _EPS))
+
+    W = so3_hat(w)
+    W2 = _mm(W, W)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * W2
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> rotation vector (inverse Rodrigues).
+
+    Handles the three regimes: generic, near-identity (Taylor), and near-pi
+    (axis from the diagonal of (R + I)/2).
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    sin_t = jnp.sin(theta)
+
+    # generic: w = theta / (2 sin t) * vee(R - R^T)
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    small = theta < 1e-5
+    near_pi = theta > jnp.pi - 1e-3
+
+    # small-angle: theta/(2 sin t) ~ 1/2 + t^2/12
+    scale_generic = jnp.where(
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(jnp.abs(sin_t) < _EPS, _EPS, sin_t)),
+    )
+    w_generic = scale_generic[..., None] * vee
+
+    # near pi: R ~ I + 2/theta^2 * w w^T - ... ; axis^2 from diagonal of (R+I)/2
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis2 = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
+    axis = jnp.sqrt(axis2)
+    # fix signs using off-diagonal sums: sign(axis_i * axis_j) = sign(R_ij + R_ji)
+    # anchor the largest component positive, derive the others
+    s01 = R[..., 0, 1] + R[..., 1, 0]
+    s02 = R[..., 0, 2] + R[..., 2, 0]
+    s12 = R[..., 1, 2] + R[..., 2, 1]
+    imax = jnp.argmax(axis2, axis=-1)
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    # per-anchor reconstructions
+    x0, y0, z0 = ax, jnp.sign(s01) * ay, jnp.sign(s02) * az          # anchor x
+    y1, x1, z1 = ay, jnp.sign(s01) * ax, jnp.sign(s12) * az          # anchor y
+    z2, x2, y2 = az, jnp.sign(s02) * ax, jnp.sign(s12) * ay          # anchor z
+    axis_fixed = jnp.where(
+        (imax == 0)[..., None],
+        jnp.stack([x0, y0, z0], axis=-1),
+        jnp.where(
+            (imax == 1)[..., None],
+            jnp.stack([x1, y1, z1], axis=-1),
+            jnp.stack([x2, y2, z2], axis=-1),
+        ),
+    )
+    norm = jnp.linalg.norm(axis_fixed, axis=-1, keepdims=True).clip(_EPS)
+    w_pi = theta[..., None] * axis_fixed / norm
+
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
+
+
+def rotation_angle(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation magnitude in radians, = |so3_log(R)| but cheaper and smoother.
+
+    Used by the keyframe rotation trigger (ref: src/keyframe_detector.py:77-81
+    computes ||Rodrigues(R_rel)||)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    return jnp.arccos(jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Pose composition — the REFERENCE's convention, reproduced deliberately
+# ---------------------------------------------------------------------------
+
+def compose_pose_reference(last_R, last_t, R_rel, t_rel):
+    """Compose a new keyframe pose from the last pose and a relative motion,
+    exactly as the reference does (ref: src/pipeline.py:244-245):
+
+        world_R = last_R @ R_rel
+        world_t = last_t + last_R @ t_rel
+
+    NOTE (documented quirk, SURVEY §2.4): with (R_rel, t_rel) coming from
+    essential-matrix recoverPose semantics (x2 = R x1 + t) this composition is
+    *not* the mathematically standard cam-to-world chain; the reference treats
+    (R, t) inconsistently between composition and BA projection.  We reproduce
+    the behavior for parity rather than silently fixing it.
+    """
+    return _mm(last_R, R_rel), last_t + _mm(last_R, t_rel[..., None])[..., 0]
+
+
+def invert_rt(R, t):
+    """Invert an [R|t] rigid transform: returns (R^T, -R^T t)."""
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -_mm(Rt, t[..., None])[..., 0]

@@ -1,0 +1,95 @@
+"""Lie-ops unit tests against the cv2.Rodrigues oracle (SURVEY §4 test plan a)."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu.ops import lie
+
+
+def random_rotvecs(rng, n, max_angle=np.pi - 0.2):
+    axes = rng.normal(size=(n, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = rng.uniform(0, max_angle, size=(n, 1))
+    return axes * angles
+
+
+def test_so3_exp_matches_cv2(rng):
+    ws = random_rotvecs(rng, 50).astype(np.float32)
+    R_jax = np.asarray(jax.vmap(lie.so3_exp)(jnp.asarray(ws)))
+    for w, R in zip(ws, R_jax):
+        R_cv, _ = cv2.Rodrigues(w.astype(np.float64))
+        np.testing.assert_allclose(R, R_cv, atol=1e-5)
+
+
+def test_so3_exp_small_angle(rng):
+    ws = (rng.normal(size=(20, 3)) * 1e-6).astype(np.float32)
+    R = np.asarray(jax.vmap(lie.so3_exp)(jnp.asarray(ws)))
+    np.testing.assert_allclose(R, np.broadcast_to(np.eye(3), R.shape), atol=1e-5)
+
+
+def test_so3_log_roundtrip(rng):
+    ws = random_rotvecs(rng, 50).astype(np.float32)
+    R = jax.vmap(lie.so3_exp)(jnp.asarray(ws))
+    w_back = np.asarray(jax.vmap(lie.so3_log)(R))
+    np.testing.assert_allclose(w_back, ws, atol=1e-3)
+
+
+def test_so3_log_matches_cv2(rng):
+    ws = random_rotvecs(rng, 30)
+    for w in ws:
+        R_cv, _ = cv2.Rodrigues(w)
+        w_jax = np.asarray(lie.so3_log(jnp.asarray(R_cv, dtype=jnp.float32)))
+        np.testing.assert_allclose(w_jax, w, atol=1e-3)
+
+
+def test_so3_log_near_pi():
+    # rotation by ~pi around a skew axis — the hard branch
+    axis = np.array([1.0, 2.0, -0.5])
+    axis /= np.linalg.norm(axis)
+    w = axis * (np.pi - 1e-4)
+    R_cv, _ = cv2.Rodrigues(w)
+    w_jax = np.asarray(lie.so3_log(jnp.asarray(R_cv, dtype=jnp.float32)))
+    # log is defined up to sign at pi; compare rotations, not vectors
+    R_back, _ = cv2.Rodrigues(w_jax.astype(np.float64))
+    np.testing.assert_allclose(R_back, R_cv, atol=1e-3)
+
+
+def test_rotation_angle(rng):
+    ws = random_rotvecs(rng, 30).astype(np.float32)
+    R = jax.vmap(lie.so3_exp)(jnp.asarray(ws))
+    angles = np.asarray(jax.vmap(lie.rotation_angle)(R))
+    np.testing.assert_allclose(angles, np.linalg.norm(ws, axis=1), atol=1e-4)
+
+
+def test_exp_is_differentiable():
+    g = jax.grad(lambda w: jnp.sum(lie.so3_exp(w)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+    g2 = jax.grad(lambda w: jnp.sum(lie.so3_exp(w)))(jnp.array([0.3, -0.2, 0.9]))
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_compose_pose_reference_formula(rng):
+    # parity with the literal formula at src/pipeline.py:244-245
+    w1, w2 = random_rotvecs(rng, 2).astype(np.float32)
+    t1 = rng.normal(size=3).astype(np.float32)
+    t2 = rng.normal(size=3).astype(np.float32)
+    R1 = np.asarray(lie.so3_exp(jnp.asarray(w1)))
+    R2 = np.asarray(lie.so3_exp(jnp.asarray(w2)))
+    Rw, tw = lie.compose_pose_reference(
+        jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2)
+    )
+    np.testing.assert_allclose(np.asarray(Rw), R1 @ R2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tw), t1 + R1 @ t2, atol=1e-6)
+
+
+def test_invert_rt(rng):
+    w = random_rotvecs(rng, 1)[0].astype(np.float32)
+    R = lie.so3_exp(jnp.asarray(w))
+    t = jnp.asarray(rng.normal(size=3).astype(np.float32))
+    Ri, ti = lie.invert_rt(R, t)
+    X = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    Xc = X @ R.T + t
+    X_back = Xc @ Ri.T + ti
+    np.testing.assert_allclose(np.asarray(X_back), np.asarray(X), atol=1e-5)
