@@ -1,0 +1,289 @@
+"""Windowed bundle adjustment: Schur-complement Levenberg-Marquardt, fully
+jitted with static shapes.
+
+TPU-native replacement for the reference's scipy sparse TRF solver
+(ref: src/bundle_adjuster.py:122-193 — least_squares with lil_matrix
+jac_sparsity, loss='huber', xtol=ftol=1e-5, max_nfev=50, finite-difference
+Jacobian, one cv2.projectPoints call per observation per evaluation).
+
+Design (SURVEY §7 phases 5-6):
+- The observation table (cam_idx, pnt_idx, uv, mask) IS the sparsity pattern —
+  no lil_matrix; the block structure is known analytically (SURVEY §2.3).
+- Per-observation 2x9 Jacobians by forward-mode autodiff of the projection
+  (replacing finite differences entirely).
+- Robust Huber IRLS weights per residual component (scipy loss='huber'
+  semantics: weight = 1 if |r| <= delta else delta/|r|).
+- Normal equations assembled by segment_sum into per-camera 6x6 U-blocks and
+  per-point 3x3 V-blocks; the point block-diagonal is eliminated in closed
+  form (batched 3x3 adjugate inverses) and the reduced camera system
+  S = U - W V^-1 W^T is built by scattering per-observation 6x3 coupling
+  blocks into a (P, C, 6, 3) tensor and contracting on the MXU — the
+  "blocked Schur" of BASELINE.json's north star.
+- Classic LM trust-region-like damping with accept/reject, ftol/xtol stopping,
+  and the reference's divergence-discard semantics handled by the caller
+  (cost is returned; see models/pipeline).
+
+The gauge anchor (oldest window KF) is fixed by excluding its camera
+parameters (ref: src/bundle_adjuster.py:141-142); its observations still
+constrain the points.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bundle_adjustment_tpu.ops.lie import so3_exp
+from bundle_adjustment_tpu.ops.projection import project
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Static-shape windowed BA problem.
+
+    C cameras (first ``n_fixed`` are gauge-fixed), P points, O observations —
+    all padded; ``obs_mask`` zeroes padding and culled observations
+    (the hook SURVEY §5 notes for map-point culling)."""
+
+    rvecs: jnp.ndarray     # (C, 3) so(3) rotation vectors
+    tvecs: jnp.ndarray     # (C, 3)
+    points: jnp.ndarray    # (P, 3)
+    cam_idx: jnp.ndarray   # (O,) i32 in [0, C)
+    pnt_idx: jnp.ndarray   # (O,) i32 in [0, P)
+    uv: jnp.ndarray        # (O, 2) observed pixels
+    obs_mask: jnp.ndarray  # (O,) f32 or bool
+    point_mask: jnp.ndarray  # (P,) bool — padding points excluded from solve
+    K: jnp.ndarray         # (3, 3)
+
+
+class BAStats(NamedTuple):
+    initial_cost: jnp.ndarray    # robust (Huber) cost, scipy convention 0.5*sum(rho)
+    final_cost: jnp.ndarray
+    initial_sq: jnp.ndarray      # raw sum of squared residuals (reference's log metric)
+    final_sq: jnp.ndarray
+    iterations: jnp.ndarray
+    accepted: jnp.ndarray        # whether the solve improved the robust cost
+
+
+def _residuals(rvecs, tvecs, points, p: BAProblem):
+    """(O, 2) reprojection residuals, masked."""
+    cam_r = rvecs[p.cam_idx]
+    cam_t = tvecs[p.cam_idx]
+    X = points[p.pnt_idx]
+    uv_hat, _ = jax.vmap(
+        lambda r, t, x: project(p.K, so3_exp(r), t, x[None, :])
+    )(cam_r, cam_t, X)
+    r = uv_hat[:, 0, :] - p.uv
+    return r * p.obs_mask[:, None]
+
+
+def _huber_weights(r, delta):
+    """Per-component IRLS weights for scipy's loss='huber' (f_scale=delta)."""
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+
+
+def robust_cost(r, delta):
+    """0.5 * sum(rho(r)) with Huber rho — scipy least_squares' objective."""
+    a = jnp.abs(r)
+    quad = r * r
+    lin = 2.0 * delta * a - delta * delta
+    return 0.5 * jnp.sum(jnp.where(a <= delta, quad, lin))
+
+
+def _obs_jacobians(rvecs, tvecs, points, p: BAProblem):
+    """Per-observation Jacobians: Jc (O, 2, 6) wrt (rvec, tvec), Jp (O, 2, 3)
+    wrt point — forward-mode, vmapped."""
+
+    def one(r, t, x, uv):
+        def f(params):
+            rv, tv, xx = params[:3], params[3:6], params[6:]
+            uv_hat, _ = project(p.K, so3_exp(rv), tv, xx[None, :])
+            return uv_hat[0] - uv
+
+        J = jax.jacfwd(f)(jnp.concatenate([r, t, x]))  # (2, 9)
+        return J[:, :6], J[:, 6:]
+
+    return jax.vmap(one)(rvecs[p.cam_idx], tvecs[p.cam_idx], points[p.pnt_idx], p.uv)
+
+
+def _inv3(M):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, Cc], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fixed):
+    """One damped Schur step: returns (d_rvecs, d_tvecs, d_points)."""
+    C = rvecs.shape[0]
+    P = points.shape[0]
+    C_adj = C - n_fixed
+
+    r = _residuals(rvecs, tvecs, points, p)               # (O, 2)
+    w = _huber_weights(r, delta) * p.obs_mask[:, None]     # (O, 2)
+    Jc, Jp = _obs_jacobians(rvecs, tvecs, points, p)       # (O,2,6), (O,2,3)
+
+    cam_adj = p.cam_idx - n_fixed
+    cam_ok = (cam_adj >= 0)[:, None, None]
+    cam_adj_c = jnp.clip(cam_adj, 0, max(C_adj - 1, 0))
+    Jc = jnp.where(cam_ok, Jc, 0.0)                        # fixed cams contribute no Jc
+
+    Jc_w = Jc * w[:, :, None]                              # weighted rows
+    Jp_w = Jp * w[:, :, None]
+
+    # per-obs blocks
+    U_o = jnp.einsum("oki,okj->oij", Jc_w, Jc, precision=_HIGHEST)   # (O, 6, 6)
+    V_o = jnp.einsum("oki,okj->oij", Jp_w, Jp, precision=_HIGHEST)   # (O, 3, 3)
+    Y_o = jnp.einsum("oki,okj->oij", Jc_w, Jp, precision=_HIGHEST)   # (O, 6, 3)
+    gc_o = jnp.einsum("oki,ok->oi", Jc_w, r, precision=_HIGHEST)     # (O, 6)
+    gp_o = jnp.einsum("oki,ok->oi", Jp_w, r, precision=_HIGHEST)     # (O, 3)
+
+    U = jax.ops.segment_sum(U_o, cam_adj_c, num_segments=max(C_adj, 1))
+    V = jax.ops.segment_sum(V_o, p.pnt_idx, num_segments=P)
+    g_c = jax.ops.segment_sum(gc_o, cam_adj_c, num_segments=max(C_adj, 1))
+    g_p = jax.ops.segment_sum(gp_o, p.pnt_idx, num_segments=P)
+
+    # Marquardt damping on the block diagonals
+    eyec = jnp.eye(6, dtype=U.dtype)
+    eyep = jnp.eye(3, dtype=V.dtype)
+    U = U + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
+    V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V))) + 1e-6 * eyep)
+    Vinv = _inv3(V)                                        # (P, 3, 3)
+    # padded/unconstrained points: keep their delta at 0
+    Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
+
+    # scatter coupling blocks into B[P, C_adj, 6, 3] and contract for the
+    # Schur complement S = blockdiag(U) - W V^-1 W^T on the MXU
+    nC = max(C_adj, 1)
+    n = nC * 6
+    B = jnp.zeros((P, nC, 6, 3), U.dtype)
+    B = B.at[p.pnt_idx, cam_adj_c].add(Y_o * cam_ok.astype(U.dtype))
+    BV = jnp.einsum("pcik,pkl->pcil", B, Vinv, precision=_HIGHEST)
+    S_full = -jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST).reshape(n, n)
+    idx = jnp.arange(nC)
+    Ublock = jnp.zeros((nC, 6, nC, 6), U.dtype)
+    Ublock = Ublock.at[idx, :, idx, :].set(U)
+    S_full = S_full + Ublock.reshape(n, n)
+
+    # rhs: b = -g_c + W V^-1 g_p
+    z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)    # (P, 3)
+    Wz_o = jnp.einsum("oij,oj->oi", Y_o, z_p[p.pnt_idx], precision=_HIGHEST)
+    Wz = jax.ops.segment_sum(Wz_o, cam_adj_c, num_segments=max(C_adj, 1))
+    b = (-g_c + Wz).reshape(n)
+
+    dc = jnp.linalg.solve(S_full + 1e-8 * jnp.eye(n, dtype=S_full.dtype), b)
+    dc_blocks = dc.reshape(max(C_adj, 1), 6)
+
+    # back-substitute points: dp = V^-1 (-g_p - W^T dc)
+    Wt_dc_o = jnp.einsum("oij,oi->oj", Y_o, dc_blocks[cam_adj_c], precision=_HIGHEST)
+    Wt_dc = jax.ops.segment_sum(Wt_dc_o, p.pnt_idx, num_segments=P)
+    dp = jnp.einsum("pij,pj->pi", Vinv, -g_p - Wt_dc, precision=_HIGHEST)
+
+    d_r = jnp.zeros_like(rvecs).at[n_fixed:].set(dc_blocks[:C_adj, :3])
+    d_t = jnp.zeros_like(tvecs).at[n_fixed:].set(dc_blocks[:C_adj, 3:])
+    return d_r, d_t, dp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fixed", "max_iterations"),
+)
+def ba_solve(
+    problem: BAProblem,
+    n_fixed: int = 1,
+    max_iterations: int = 50,
+    huber_delta: float = 1.0,
+    lambda_init: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    lambda_min: float = 1e-10,
+    lambda_max: float = 1e8,
+    ftol: float = 1e-5,
+    xtol: float = 1e-5,
+):
+    """Levenberg-Marquardt with Schur elimination.  Returns
+    (rvecs, tvecs, points, BAStats).  Caller applies the reference's
+    divergence-discard rule using the stats."""
+    p = problem._replace(obs_mask=problem.obs_mask.astype(problem.uv.dtype))
+
+    def cost_at(rv, tv, pt):
+        return robust_cost(_residuals(rv, tv, pt, p), huber_delta)
+
+    def sq_at(rv, tv, pt):
+        r = _residuals(rv, tv, pt, p)
+        return jnp.sum(r * r)
+
+    init_cost = cost_at(p.rvecs, p.tvecs, p.points)
+    init_sq = sq_at(p.rvecs, p.tvecs, p.points)
+
+    # state: (rvecs, tvecs, points, lambda, cost, iteration, done)
+    def cond(s):
+        return (~s[6]) & (s[5] < max_iterations)
+
+    def body(s):
+        rv, tv, pt, lam, cost, it, done = s
+        d_r, d_t, d_p = _solve_normal_equations(rv, tv, pt, p, lam, huber_delta, n_fixed)
+        rv2, tv2, pt2 = rv + d_r, tv + d_t, pt + d_p
+        new_cost = cost_at(rv2, tv2, pt2)
+        accept = new_cost < cost
+
+        step_norm = jnp.sqrt(
+            jnp.sum(d_r * d_r) + jnp.sum(d_t * d_t) + jnp.sum(d_p * d_p)
+        )
+        param_norm = jnp.sqrt(
+            jnp.sum(rv * rv) + jnp.sum(tv * tv) + jnp.sum(pt * pt)
+        )
+        converged = accept & (
+            ((cost - new_cost) <= ftol * jnp.maximum(cost, 1e-12))
+            | (step_norm <= xtol * (param_norm + xtol))
+        )
+
+        rv = jnp.where(accept, rv2, rv)
+        tv = jnp.where(accept, tv2, tv)
+        pt = jnp.where(accept, pt2, pt)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * lambda_down, lambda_min),
+                        jnp.minimum(lam * lambda_up, lambda_max))
+        # a rejected step at lambda_max cannot make progress — stop
+        stuck = (~accept) & (lam >= lambda_max)
+        return (rv, tv, pt, lam, cost, it + 1, converged | stuck)
+
+    lam0 = jnp.asarray(lambda_init, p.uv.dtype)
+    rv, tv, pt, lam, cost, it, _ = jax.lax.while_loop(
+        cond, body, (p.rvecs, p.tvecs, p.points, lam0, init_cost, 0, False)
+    )
+
+    stats = BAStats(
+        initial_cost=init_cost,
+        final_cost=cost,
+        initial_sq=init_sq,
+        final_sq=sq_at(rv, tv, pt),
+        iterations=it,
+        accepted=cost < init_cost,
+    )
+    return rv, tv, pt, stats

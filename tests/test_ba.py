@@ -1,0 +1,165 @@
+"""Bundle-adjustment solver tests: synthetic ground-truth recovery, scipy
+least_squares parity on identical problems, gauge/mask semantics
+(SURVEY §4 plan a/b)."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import least_squares
+
+from bundle_adjustment_tpu.ops import ba
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1.0]])
+
+
+def make_problem(rng, n_cams=4, n_pts=60, noise=0.0, perturb=0.05,
+                 pad_pts=0, pad_obs=0):
+    """Synthetic windowed BA problem: cameras on an arc looking at a cloud."""
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(n_pts, 3))
+    rvecs, tvecs, uvs = [], [], []
+    for c in range(n_cams):
+        w = np.array([0.02 * c, -0.03 * c, 0.01 * c])
+        t = np.array([0.3 * c, 0.05 * c, 0.02 * c])
+        R, _ = cv2.Rodrigues(w)
+        Xc = X @ R.T + t
+        uv = (Xc[:, :2] / Xc[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        rvecs.append(w)
+        tvecs.append(t)
+        uvs.append(uv + rng.normal(size=uv.shape) * noise)
+
+    cam_idx = np.repeat(np.arange(n_cams), n_pts)
+    pnt_idx = np.tile(np.arange(n_pts), n_cams)
+    uv = np.concatenate(uvs)
+    O = len(uv)
+
+    rv = np.array(rvecs)
+    tv = np.array(tvecs)
+    # perturb everything except the anchor
+    rv_p = rv.copy()
+    tv_p = tv.copy()
+    rv_p[1:] += rng.normal(size=(n_cams - 1, 3)) * perturb * 0.3
+    tv_p[1:] += rng.normal(size=(n_cams - 1, 3)) * perturb
+    X_p = X + rng.normal(size=X.shape) * perturb
+
+    P = n_pts + pad_pts
+    Op = O + pad_obs
+    prob = ba.BAProblem(
+        rvecs=jnp.asarray(rv_p, jnp.float32),
+        tvecs=jnp.asarray(tv_p, jnp.float32),
+        points=jnp.asarray(np.vstack([X_p, np.zeros((pad_pts, 3))]), jnp.float32),
+        cam_idx=jnp.asarray(np.concatenate([cam_idx, np.zeros(pad_obs, int)]), jnp.int32),
+        pnt_idx=jnp.asarray(np.concatenate([pnt_idx, np.zeros(pad_obs, int)]), jnp.int32),
+        uv=jnp.asarray(np.vstack([uv, np.zeros((pad_obs, 2))]), jnp.float32),
+        obs_mask=jnp.asarray(np.concatenate([np.ones(O), np.zeros(pad_obs)]), jnp.float32),
+        point_mask=jnp.asarray(np.concatenate([np.ones(n_pts, bool), np.zeros(pad_pts, bool)])),
+        K=jnp.asarray(K, jnp.float32),
+    )
+    return prob, (rv, tv, X)
+
+
+def test_recovers_ground_truth(rng):
+    prob, (rv, tv, X) = make_problem(rng)
+    rv2, tv2, pt2, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
+    assert bool(stats.accepted)
+    assert float(stats.final_sq) < 1e-2 * float(stats.initial_sq)
+    # anchor untouched
+    np.testing.assert_array_equal(np.asarray(rv2[0]), np.asarray(prob.rvecs[0]))
+    np.testing.assert_array_equal(np.asarray(tv2[0]), np.asarray(prob.tvecs[0]))
+    # poses recovered (anchor fixes the gauge, scene is fully determined)
+    np.testing.assert_allclose(np.asarray(rv2), rv, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tv2), tv, atol=2e-2)
+
+
+def test_padding_is_inert(rng):
+    prob0, _ = make_problem(rng)
+    prob1, _ = make_problem(rng, pad_pts=20, pad_obs=50)
+    # rebuild prob1 from prob0's data to make them identical modulo padding
+    r0 = ba.ba_solve(prob0, n_fixed=1, max_iterations=30)
+    r1 = ba.ba_solve(prob1, n_fixed=1, max_iterations=30)
+    # same convergence quality (can differ in exact path only via padding —
+    # which must be inert, so results must match closely)
+    assert abs(float(r0[3].final_sq) - float(r1[3].final_sq)) < 1e-3 * max(
+        float(r0[3].initial_sq), 1.0
+    )
+
+
+def test_matches_scipy_on_same_problem(rng):
+    """Run scipy least_squares (the reference's solver) on the identical
+    problem and require comparable final cost."""
+    prob, _ = make_problem(rng, n_cams=3, n_pts=40, noise=0.3, perturb=0.08)
+    n_cams, n_pts = 3, 40
+
+    cam_idx = np.asarray(prob.cam_idx)
+    pnt_idx = np.asarray(prob.pnt_idx)
+    uv = np.asarray(prob.uv)
+
+    def pack(rv, tv, X):
+        return np.concatenate([rv[1:].ravel(), tv[1:].ravel(), X.ravel()])
+
+    def unpack(x):
+        n_adj = n_cams - 1
+        rv = np.vstack([np.asarray(prob.rvecs[0]), x[: n_adj * 3].reshape(-1, 3)])
+        tv = np.vstack(
+            [np.asarray(prob.tvecs[0]), x[n_adj * 3 : 2 * n_adj * 3].reshape(-1, 3)]
+        )
+        X = x[2 * n_adj * 3 :].reshape(-1, 3)
+        return rv, tv, X
+
+    def fun(x):
+        rv, tv, X = unpack(x)
+        res = []
+        for o in range(len(uv)):
+            R, _ = cv2.Rodrigues(rv[cam_idx[o]])
+            Xc = R @ X[pnt_idx[o]] + tv[cam_idx[o]]
+            proj = (Xc[:2] / Xc[2]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            res.append(proj - uv[o])
+        return np.concatenate(res)
+
+    x0 = pack(np.asarray(prob.rvecs), np.asarray(prob.tvecs), np.asarray(prob.points))
+    res = least_squares(fun, x0, loss="huber", f_scale=1.0, xtol=1e-5, ftol=1e-5, max_nfev=50)
+
+    rv2, tv2, pt2, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
+    # within 10% of scipy's robust cost (different solver family, same model)
+    assert float(stats.final_cost) < 1.1 * res.cost + 1e-3, (
+        f"ours {float(stats.final_cost):.4f} vs scipy {res.cost:.4f}"
+    )
+
+
+def test_huber_downweights_outliers(rng):
+    """Gross outliers shift the robust optimum far less than the L2 one: the
+    Huber solve must land much closer to ground truth than a non-robust solve
+    (delta=1e9 disables the robustifier)."""
+    prob, (rv, tv, X) = make_problem(rng, noise=0.2)
+    uv = np.asarray(prob.uv).copy()
+    bad = rng.random(len(uv)) < 0.06
+    uv[bad] += rng.normal(size=(bad.sum(), 2)) * 120.0
+    prob = prob._replace(uv=jnp.asarray(uv))
+    rvH, tvH, _, statsH = ba.ba_solve(prob, n_fixed=1, max_iterations=50, huber_delta=1.0)
+    rvL, tvL, _, statsL = ba.ba_solve(prob, n_fixed=1, max_iterations=50, huber_delta=1e9)
+    assert bool(statsH.accepted)
+    errH = np.abs(np.asarray(tvH) - tv).max()
+    errL = np.abs(np.asarray(tvL) - tv).max()
+    assert errH < 0.5 * errL, f"huber {errH:.4f} vs L2 {errL:.4f}"
+    assert errH < 0.15
+
+
+def test_masked_observations_ignored(rng):
+    prob, (rv, tv, X) = make_problem(rng)
+    # corrupt 30% of observations but mask them out
+    uv = np.asarray(prob.uv).copy()
+    mask = np.asarray(prob.obs_mask).copy()
+    bad = rng.random(len(uv)) < 0.3
+    uv[bad] = rng.uniform([0, 0], [640, 480], size=(bad.sum(), 2))
+    mask[bad] = 0.0
+    prob = prob._replace(uv=jnp.asarray(uv), obs_mask=jnp.asarray(mask))
+    rv2, tv2, pt2, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
+    assert float(stats.final_sq) < 1e-2
+    np.testing.assert_allclose(np.asarray(rv2), rv, atol=2e-3)
+
+
+def test_already_optimal_no_divergence(rng):
+    prob, (rv, tv, X) = make_problem(rng, perturb=0.0)
+    rv2, tv2, pt2, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=20)
+    # cost cannot increase (divergence-discard is caller-side; solver itself
+    # must never accept a worse state)
+    assert float(stats.final_cost) <= float(stats.initial_cost) + 1e-6
