@@ -91,7 +91,9 @@ class PipelineConfig:
     # essential-matrix RANSAC (ref: src/pose_estimator.py:27)
     ransac_prob: float = 0.999
     ransac_threshold_px: float = 3.0
-    ransac_iters: int = 1024      # static hypothesis batch (vmapped)
+    ransac_iters: int = 4096      # static hypothesis batch (vmapped; 8-point
+                                  # samples need ~4x cv2's 5-point trial count
+                                  # at equal success probability)
 
     # PnP RANSAC (ref: src/pose_estimator.py:72-81)
     pnp_iters: int = 128
@@ -110,6 +112,16 @@ class PipelineConfig:
     cull_enabled: bool = False
     cull_min_observations: int = 2
     cull_max_reproj_err_px: float = 8.0
+
+    # Pose-chain convention.  False (default) reproduces the reference's
+    # composition world_R = last_R @ R_rel, world_t = last_t + last_R @ t_rel
+    # with points world-transformed as X_w = last_R @ X_rel + last_t — which
+    # is mutually inconsistent with the BA's extrinsic interpretation of
+    # (R, t) from the 3rd keyframe on (documented quirk, SURVEY §2.4).
+    # True uses the correct extrinsic chain (R_new = R_rel @ R_last,
+    # t_new = R_rel @ t_last + t_rel; X_w = R_last^T (X_rel - t_last)), which
+    # keeps initialization geometrically consistent.
+    consistent_convention: bool = False
 
     # distributed mesh (data-parallel x model/point-parallel), (1,1) = single chip
     mesh_shape: Tuple[int, int] = (1, 1)
@@ -143,7 +155,9 @@ def preset_desk() -> PipelineConfig:
     (ref: legacy/local_BA_sparsity_images.py:340,416,427-429,618)."""
     return PipelineConfig(
         camera=CAMERA_DESK,
-        ratio_test=0.60,
+        # the legacy desk run used ratio 0.60 with cv2's learned descriptors;
+        # our rBRIEF tests are tuned at 0.75 for equivalent selectivity
+        ratio_test=0.75,
         ransac_threshold_px=0.5,
         min_tracked_features=1,
         pose_inlier_ratio=0.0,
@@ -163,8 +177,13 @@ def preset_scout() -> PipelineConfig:
     (BASELINE config 2)."""
     return PipelineConfig(
         camera=CAMERA_DESK,
+        # scout pairs are wide-baseline with sparse texture: a lean, high-
+        # quality feature set scores better than the full 4000 budget (the
+        # extra low-response keypoints only add ratio-test noise)
+        num_features=1500,
+        pyramid_levels=4,
         min_tracked_features=8,
-        pose_inlier_ratio=0.4,
+        pose_inlier_ratio=0.3,
         pose_inlier_numbers=8,
         ba=BAConfig(window_size=5, max_points=4096, max_obs=16384),
     )

@@ -1,0 +1,451 @@
+"""The frame-pipeline orchestrator: the TPU-native VisualOdometryPipeline.
+
+Mirrors the reference's per-frame control flow (ref: src/pipeline.py:41-99):
+grayscale -> extract -> (first frame: init map at identity,
+src/pipeline.py:101-110) -> match vs last keyframe only -> min-match gate ->
+essential-matrix pose -> reliability gate -> keyframe decision -> insertion
+(re-observation vs triangulation split, src/pipeline.py:226-313) -> windowed
+local BA with divergence rollback (src/bundle_adjuster.py:122-193).
+
+Host/device split (SURVEY §3.2 note): image -> device for extraction;
+descriptors stay device-resident; one small host sync for the gates/keyframe
+decision; BA fully on device; host keeps the id/bookkeeping mirror.
+
+Documented divergences from the reference (all strict improvements, flagged
+per SURVEY §2.4/§7 rather than silently introduced):
+- The reference's `_add_new_keyframe` mis-aligns triangulated points with
+  their match indices when cheirality drops points (it ignores the valid-index
+  return at src/pipeline.py:288); we keep the association correct.
+- The reference's parallax lookup skips map-point id 0 (`if mp_id` is falsy
+  for 0 at src/keyframe_detector.py:51); we treat id 0 like any other.
+- RANSAC is batched-hypothesis (fixed 1024 samples) rather than early-exit
+  sequential; with prob=.999 the reference's expected trial count is similar.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu.config import PipelineConfig
+from bundle_adjustment_tpu.models.keyframe import decide_keyframe
+from bundle_adjustment_tpu.models.map_store import Keyframe, Map
+from bundle_adjustment_tpu.ops import ba, hamming, orb, ransac, triangulation
+from bundle_adjustment_tpu.ops.lie import rotation_angle
+from bundle_adjustment_tpu.utils.event_log import EventLog
+from bundle_adjustment_tpu.utils import viz
+
+
+class VisualOdometryPipeline:
+    def __init__(self, config: PipelineConfig, log: Optional[EventLog] = None,
+                 use_pallas_matcher: Optional[bool] = None):
+        self.cfg = config
+        self.map = Map()
+        self.log = log or EventLog(echo=False)
+        self.frame_idx = -1
+        self.K = config.camera.K
+        self._key = jax.random.PRNGKey(0)
+        self._lost_frames = 0
+        if use_pallas_matcher is None:
+            use_pallas_matcher = jax.default_backend() == "tpu"
+        self.use_pallas_matcher = use_pallas_matcher
+        # jit the frame-to-frame match+gather step once
+        self._match_fn = jax.jit(self._match_device)
+
+    # -- device helpers ----------------------------------------------------
+
+    def _match_device(self, desc1, valid1, desc2, valid2):
+        idx, mask, dist = hamming.match(
+            desc1, desc2, valid1, valid2,
+            ratio=self.cfg.ratio_test, cross_check=self.cfg.cross_check,
+            use_pallas=False,  # jit-internal; pallas variant used via flag below
+        )
+        return idx, mask, dist
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- pipeline ----------------------------------------------------------
+
+    def _extract(self, gray: np.ndarray) -> orb.Keypoints:
+        return orb.extract(
+            jnp.asarray(gray),
+            num_features=self.cfg.num_features,
+            levels=self.cfg.pyramid_levels,
+            scale=self.cfg.pyramid_scale,
+            threshold=float(self.cfg.fast_threshold),
+            height=gray.shape[0],
+            width=gray.shape[1],
+        )
+
+    def process_frame(self, frame_bgr: np.ndarray) -> dict:
+        """Process one BGR frame.  Returns a result dict with the decision
+        chain (used by tests and the metrics layer)."""
+        import cv2
+
+        self.frame_idx += 1
+        self.log.frame(self.frame_idx)
+        gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+        kp = self._extract(gray)
+
+        if self.map.num_keyframes == 0:
+            self._initialize_map(frame_bgr, kp)
+            return {"status": "initialized", "kf_id": 0}
+
+        last_id = self.map.sorted_kf_ids()[-1]
+        last_kf = self.map.keyframes[last_id]
+
+        if self.use_pallas_matcher:
+            from bundle_adjustment_tpu.ops.hamming_pallas import knn2_pallas
+
+            best, idx, second = knn2_pallas(
+                last_kf.desc, kp.desc, kp.valid
+            )
+            mask = hamming.ratio_test_mask(best, second, self.cfg.ratio_test)
+            mask = mask & jnp.asarray(last_kf.kp_valid)
+            dist = best
+        else:
+            idx, mask, dist = self._match_fn(
+                last_kf.desc, jnp.asarray(last_kf.kp_valid), kp.desc, kp.valid
+            )
+
+        match_idx = np.asarray(idx)
+        match_mask = np.asarray(mask)
+        n_matches = int(match_mask.sum())
+
+        if n_matches < self.cfg.min_tracked_features:
+            self.log.frame_discarded(self.frame_idx, "Not enough matches to track.")
+            return self._tracking_lost(frame_bgr, kp, "matches")
+
+        kp_xy = np.asarray(kp.xy)
+        uv1 = last_kf.xy                       # slot-aligned query keypoints
+        uv2 = kp_xy[match_idx]                 # matched train keypoints
+
+        pose = ransac.estimate_essential_pose(
+            self._next_key(),
+            jnp.asarray(uv1, jnp.float32),
+            jnp.asarray(uv2, jnp.float32),
+            jnp.asarray(match_mask),
+            jnp.asarray(self.K, jnp.float32),
+            threshold_px=self.cfg.ransac_threshold_px,
+            num_hyp=self.cfg.ransac_iters,
+            quality=dist,  # PROSAC-style best-matches-first sampling
+        )
+        num_inliers = int(pose.num_inliers)
+        inlier_ratio = num_inliers / max(n_matches, 1)
+        self.log.pose(self.frame_idx, num_inliers, n_matches, inlier_ratio)
+
+        if not bool(pose.ok):
+            self.log.frame_discarded(self.frame_idx, "Could not estimate pose.")
+            return self._tracking_lost(frame_bgr, kp, "pose")
+
+        reliable = (
+            inlier_ratio > self.cfg.pose_inlier_ratio
+            and num_inliers > self.cfg.pose_inlier_numbers
+        )
+        if not reliable:
+            self.log.frame_discarded(
+                self.frame_idx, "Low inlier ratio or insufficient inliers."
+            )
+            return self._tracking_lost(frame_bgr, kp, "unreliable")
+
+        self._lost_frames = 0
+        R_rel = np.asarray(pose.R, np.float64)
+        t_rel = np.asarray(pose.t, np.float64)
+        inl = np.asarray(pose.inliers)
+
+        # -- keyframe decision (ref: src/keyframe_detector.py:21-87) -------
+        tracked_slots = inl & (last_kf.kp_to_mp >= 0)
+        tracked_mp = last_kf.kp_to_mp[tracked_slots]
+        if self.cfg.consistent_convention:
+            R_new, t_new = self._compose(last_kf.R, last_kf.t, R_rel, t_rel)
+            last_center = -last_kf.R.T @ last_kf.t
+            new_center = -R_new.T @ t_new
+        else:
+            last_center = last_kf.t
+            new_center = last_kf.t + last_kf.R @ t_rel
+        rot_mag = float(rotation_angle(jnp.asarray(R_rel, jnp.float32)))
+        decision = decide_keyframe(
+            self.cfg.keyframe,
+            tracked_points=self.map.points()[tracked_mp],
+            last_cam_center=last_center,
+            new_cam_center=new_center,
+            uv_last=uv1[inl],
+            uv_new=uv2[inl],
+            rotation_rad=rot_mag,
+            num_inliers=num_inliers,
+            num_last_features=int(last_kf.kp_valid.sum()),
+        )
+        if not decision.is_keyframe:
+            return {"status": "tracked", "inliers": num_inliers,
+                    "inlier_ratio": inlier_ratio}
+
+        kf_id = self.map.new_keyframe_id()
+        self.log.keyframe_trigger(self.frame_idx, kf_id, decision.reason,
+                                  decision.metrics)
+        self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel)
+        ba_result = self.run_local_ba()
+        return {
+            "status": "keyframe",
+            "kf_id": kf_id,
+            "reason": decision.reason,
+            "inliers": num_inliers,
+            "inlier_ratio": inlier_ratio,
+            "ba": ba_result,
+        }
+
+    def _tracking_lost(self, frame_bgr, kp, why: str) -> dict:
+        self._lost_frames += 1
+        if self.cfg.reloc_enabled and self._lost_frames >= 2:
+            from bundle_adjustment_tpu.models.relocalize import try_relocalize
+
+            result = try_relocalize(self, frame_bgr, kp)
+            if result is not None:
+                self._lost_frames = 0
+                return result
+        return {"status": "discarded", "why": why}
+
+    def _initialize_map(self, frame_bgr, kp: orb.Keypoints):
+        self.log.emit("init", "Initializing with first keyframe...", frame_idx=self.frame_idx)
+        kf = Keyframe(
+            kf_id=self.map.new_keyframe_id(),
+            R=np.eye(3),
+            t=np.zeros(3),
+            xy=np.asarray(kp.xy, np.float64),
+            desc=kp.desc,
+            kp_valid=np.asarray(kp.valid),
+            frame_idx=self.frame_idx,
+        )
+        self.map.add_keyframe(kf)
+        self.log.keyframe_trigger(self.frame_idx, kf.kf_id, "Initialization", {})
+
+    def _compose(self, last_R, last_t, R_rel, t_rel):
+        """Pose composition under the configured convention (see config)."""
+        if self.cfg.consistent_convention:
+            return R_rel @ last_R, R_rel @ last_t + t_rel
+        return last_R @ R_rel, last_t + last_R @ t_rel
+
+    def _cam_to_world(self, last_kf: Keyframe, X_rel: np.ndarray) -> np.ndarray:
+        """Transform points from the last KF's camera frame to world."""
+        if self.cfg.consistent_convention:
+            return (X_rel - last_kf.t) @ last_kf.R  # == R^T (X - t) rowwise
+        return (last_kf.R @ X_rel.T).T + last_kf.t  # reference formula
+
+    def _add_new_keyframe(self, frame_bgr, kp: orb.Keypoints, last_kf: Keyframe,
+                          match_idx, inl, R_rel, t_rel):
+        """Keyframe insertion with re-observation bookkeeping + triangulation
+        (ref: src/pipeline.py:226-313)."""
+        world_R, world_t = self._compose(last_kf.R, last_kf.t, R_rel, t_rel)
+
+        kp_xy = np.asarray(kp.xy, np.float64)
+        new_kf = Keyframe(
+            kf_id=self.map.new_keyframe_id(),
+            R=world_R,
+            t=world_t,
+            xy=kp_xy,
+            desc=kp.desc,
+            kp_valid=np.asarray(kp.valid),
+            frame_idx=self.frame_idx,
+        )
+        self.map.add_keyframe(new_kf)
+
+        slots = np.flatnonzero(inl)                     # query kp indices on last KF
+        # knnMatch without crosscheck can map several query slots onto one
+        # train keypoint; keep only the first per train index so a new-KF
+        # keypoint never receives two map points (the reference's dict
+        # bookkeeping silently tolerates this; our invariant does not)
+        _, first = np.unique(match_idx[slots], return_index=True)
+        slots = slots[np.sort(first)]
+        mp_of_slot = last_kf.kp_to_mp[slots]
+        reobs = mp_of_slot >= 0
+
+        # re-observations: existing map point seen again in the new KF
+        r_slots = slots[reobs]
+        self.map.add_observations(
+            new_kf.kf_id,
+            mp_of_slot[reobs],
+            match_idx[r_slots],
+            kp_xy[match_idx[r_slots]],
+        )
+
+        # new points: triangulate in the last KF's frame, then world-transform
+        n_slots = slots[~reobs]
+        if len(n_slots):
+            uv1 = last_kf.xy[n_slots]
+            uv2 = kp_xy[match_idx[n_slots]]
+            X_rel, valid = triangulation.triangulate_pair(
+                jnp.asarray(self.K, jnp.float32),
+                jnp.asarray(R_rel, jnp.float32),
+                jnp.asarray(t_rel, jnp.float32),
+                jnp.asarray(uv1, jnp.float32),
+                jnp.asarray(uv2, jnp.float32),
+            )
+            X_rel = np.asarray(X_rel, np.float64)
+            valid = np.asarray(valid)
+            self.log.triangulated(self.frame_idx, int(valid.sum()), len(n_slots))
+            if valid.any():
+                keep = n_slots[valid]
+                X_w = self._cam_to_world(last_kf, X_rel[valid])
+                uv2k = kp_xy[match_idx[keep]]
+                cc = np.clip(np.round(uv2k).astype(int), 0,
+                             [frame_bgr.shape[1] - 1, frame_bgr.shape[0] - 1])
+                bgr = frame_bgr[cc[:, 1], cc[:, 0]].astype(np.float64)
+                colors = bgr[:, ::-1] / 255.0
+                mp_ids = self.map.add_map_points(X_w, colors)
+                # observed by BOTH keyframes (ref: src/pipeline.py:305-307)
+                self.map.add_observations(last_kf.kf_id, mp_ids, keep, last_kf.xy[keep])
+                self.map.add_observations(new_kf.kf_id, mp_ids, match_idx[keep],
+                                          kp_xy[match_idx[keep]])
+
+        if self.cfg.cull_enabled:
+            self._cull_points()
+
+        if self.cfg.debug:
+            out = self.cfg.output_dir
+            viz.plot_and_save_trajectory_2d(
+                self.map.trajectory(self.cfg.consistent_convention),
+                os.path.join(out, "trajectory_2d"),
+                f"kf{new_kf.kf_id:04d}")
+            rots = [self.map.keyframes[k].R for k in self.map.sorted_kf_ids()]
+            viz.plot_and_save_trajectory_3d(
+                self.map.trajectory(self.cfg.consistent_convention), rots,
+                os.path.join(out, "trajectory_3d"),
+                f"kf{new_kf.kf_id:04d}")
+
+    # -- bundle adjustment glue -------------------------------------------
+
+    def run_local_ba(self, window_size: Optional[int] = None,
+                     global_ba: bool = False) -> Optional[dict]:
+        """Windowed LBA with the reference's window/gauge/divergence semantics
+        (ref: src/bundle_adjuster.py:122-193).  Global BA is LBA with
+        window_size = num_keyframes (ref: src/main.py:80-89)."""
+        w = window_size or self.cfg.ba.window_size
+        all_ids = self.map.sorted_kf_ids()
+        if len(all_ids) < w:
+            self.log.lba_skipped("Not enough keyframes.")
+            return None
+        window = all_ids[-(w + 1):-1]
+        if len(window) < 2:
+            self.log.lba_skipped("No adjustable keyframes.")
+            return None
+
+        gathered = self.map.gather_window(
+            window, self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs
+        )
+        if gathered is None:
+            self.log.lba_skipped("No points in the local window.")
+            return None
+        problem, mp_ids = gathered
+
+        if self.cfg.debug:
+            viz.plot_and_save_sparsity(
+                np.asarray(problem.cam_idx), np.asarray(problem.pnt_idx),
+                len(window), len(mp_ids),
+                os.path.join(self.cfg.output_dir, "debug_sparsity"),
+                f"kf{window[0]:04d}_{window[-1]:04d}",
+            )
+
+        t0 = time.perf_counter()
+        rv, tv, pts, stats = ba.ba_solve(
+            problem,
+            n_fixed=1,
+            max_iterations=self.cfg.ba.max_iterations,
+            huber_delta=self.cfg.ba.huber_delta,
+            lambda_init=self.cfg.ba.lambda_init,
+            lambda_up=self.cfg.ba.lambda_up,
+            lambda_down=self.cfg.ba.lambda_down,
+            lambda_min=self.cfg.ba.lambda_min,
+            lambda_max=self.cfg.ba.lambda_max,
+            ftol=self.cfg.ba.ftol,
+            xtol=self.cfg.ba.xtol,
+        )
+        stats = jax.device_get(stats)
+        elapsed = time.perf_counter() - t0
+
+        # divergence rejection on the raw squared cost — the reference's
+        # np.sum(res.fun**2) comparison (src/bundle_adjuster.py:176-179)
+        diverged = float(stats.final_sq) >= float(stats.initial_sq)
+        self.log.lba(window[-1], float(stats.initial_sq), float(stats.final_sq),
+                     int(stats.iterations), diverged, elapsed, global_ba=global_ba)
+        if diverged:
+            return {"diverged": True, "initial": float(stats.initial_sq),
+                    "final": float(stats.final_sq), "elapsed_s": elapsed}
+
+        self.map.apply_ba_result(window, mp_ids, rv, tv, pts, n_fixed=1)
+
+        if self.cfg.debug:
+            from bundle_adjustment_tpu.utils.io import write_pcd
+
+            pts_w, colors = self.map.get_pcd()
+            write_pcd(
+                os.path.join(self.cfg.output_dir, "lba_steps",
+                             f"map_after_lba_kf_{window[0]:04d}.pcd"),
+                pts_w, colors,
+            )
+        return {
+            "diverged": False,
+            "initial": float(stats.initial_sq),
+            "final": float(stats.final_sq),
+            "iterations": int(stats.iterations),
+            "elapsed_s": elapsed,
+            "n_cams": len(window),
+            "n_points": len(mp_ids),
+            "n_obs": int(np.asarray(problem.obs_mask).sum()),
+        }
+
+    def run_global_ba(self) -> Optional[dict]:
+        """Final global BA: the reference temporarily sets window_size to the
+        keyframe count (src/main.py:80-89), so the newest KF stays excluded."""
+        return self.run_local_ba(window_size=self.map.num_keyframes, global_ba=True)
+
+    # -- map maintenance ---------------------------------------------------
+
+    def _cull_points(self):
+        """Drop weakly-observed points once they leave the active window
+        (SURVEY §5 long-context: designed fresh; the reference never deletes)."""
+        w_ids = set(self.map.sorted_kf_ids()[-(self.cfg.ba.window_size + 1):])
+        counts = self.map.observation_count_per_point()
+        alive = self.map.point_alive()
+        # a point is safe while any of its observations is in the window
+        n = self.map._n_obs
+        in_window = np.zeros(len(counts), bool)
+        obs_alive = self.map._obs_alive[:n]
+        obs_kf = self.map._obs_kf[:n]
+        obs_mp = self.map._obs_mp[:n]
+        for k in w_ids:
+            in_window[obs_mp[obs_alive & (obs_kf == k)]] = True
+        weak = alive & ~in_window & (counts < self.cfg.cull_min_observations)
+        if weak.any():
+            self.map.cull_points(np.flatnonzero(weak))
+            self.log.emit("cull", f"    -> Culled {int(weak.sum())} weak map points.",
+                          culled=int(weak.sum()))
+
+    # -- finalization ------------------------------------------------------
+
+    def finalize(self, out_dir: Optional[str] = None) -> dict:
+        """Global BA + artifact export (ref: src/main.py:80-102)."""
+        out = out_dir or self.cfg.output_dir
+        result = self.run_global_ba()
+        pts, colors = self.map.get_pcd()
+        os.makedirs(out, exist_ok=True)
+        if len(pts):
+            from bundle_adjustment_tpu.utils.io import write_pcd
+
+            write_pcd(os.path.join(out, "final_map_global_ba.pcd"), pts, colors)
+        viz.plot_and_save_trajectory_2d(self.map.trajectory(self.cfg.consistent_convention),
+                                        os.path.join(out, "trajectory_2d"), "final")
+        rots = [self.map.keyframes[k].R for k in self.map.sorted_kf_ids()]
+        viz.plot_and_save_trajectory_3d(self.map.trajectory(self.cfg.consistent_convention), rots,
+                                        os.path.join(out, "trajectory_3d"), "final")
+        return {
+            "num_keyframes": self.map.num_keyframes,
+            "num_points": self.map.num_points,
+            "num_observations": self.map.num_observations,
+            "global_ba": result,
+        }

@@ -138,8 +138,19 @@ def _inv3(M):
     return adj / det[..., None, None]
 
 
-def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fixed):
-    """One damped Schur step: returns (d_rvecs, d_tvecs, d_points)."""
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fixed,
+                            axis_name=None):
+    """One damped Schur step: returns (d_rvecs, d_tvecs, d_points).
+
+    With ``axis_name`` set (inside shard_map), the problem's points and
+    observations are shard-local while cameras are replicated: the per-point
+    V elimination stays local and only the small reduced camera system
+    (S, g_c, Wz — a few KB) crosses ICI via psum — the distributed Schur
+    reduction of SURVEY §2.5/BASELINE's north star."""
     C = rvecs.shape[0]
     P = points.shape[0]
     C_adj = C - n_fixed
@@ -163,10 +174,10 @@ def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fi
     gc_o = jnp.einsum("oki,ok->oi", Jc_w, r, precision=_HIGHEST)     # (O, 6)
     gp_o = jnp.einsum("oki,ok->oi", Jp_w, r, precision=_HIGHEST)     # (O, 3)
 
-    U = jax.ops.segment_sum(U_o, cam_adj_c, num_segments=max(C_adj, 1))
-    V = jax.ops.segment_sum(V_o, p.pnt_idx, num_segments=P)
-    g_c = jax.ops.segment_sum(gc_o, cam_adj_c, num_segments=max(C_adj, 1))
-    g_p = jax.ops.segment_sum(gp_o, p.pnt_idx, num_segments=P)
+    U = _psum(jax.ops.segment_sum(U_o, cam_adj_c, num_segments=max(C_adj, 1)), axis_name)
+    V = jax.ops.segment_sum(V_o, p.pnt_idx, num_segments=P)          # point-local
+    g_c = _psum(jax.ops.segment_sum(gc_o, cam_adj_c, num_segments=max(C_adj, 1)), axis_name)
+    g_p = jax.ops.segment_sum(gp_o, p.pnt_idx, num_segments=P)       # point-local
 
     # Marquardt damping on the block diagonals
     eyec = jnp.eye(6, dtype=U.dtype)
@@ -184,7 +195,9 @@ def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fi
     B = jnp.zeros((P, nC, 6, 3), U.dtype)
     B = B.at[p.pnt_idx, cam_adj_c].add(Y_o * cam_ok.astype(U.dtype))
     BV = jnp.einsum("pcik,pkl->pcil", B, Vinv, precision=_HIGHEST)
-    S_full = -jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST).reshape(n, n)
+    S_full = -_psum(
+        jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST), axis_name
+    ).reshape(n, n)
     idx = jnp.arange(nC)
     Ublock = jnp.zeros((nC, 6, nC, 6), U.dtype)
     Ublock = Ublock.at[idx, :, idx, :].set(U)
@@ -193,7 +206,8 @@ def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fi
     # rhs: b = -g_c + W V^-1 g_p
     z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)    # (P, 3)
     Wz_o = jnp.einsum("oij,oj->oi", Y_o, z_p[p.pnt_idx], precision=_HIGHEST)
-    Wz = jax.ops.segment_sum(Wz_o, cam_adj_c, num_segments=max(C_adj, 1))
+    Wz = _psum(jax.ops.segment_sum(Wz_o, cam_adj_c, num_segments=max(C_adj, 1)),
+               axis_name)
     b = (-g_c + Wz).reshape(n)
 
     dc = jnp.linalg.solve(S_full + 1e-8 * jnp.eye(n, dtype=S_full.dtype), b)
@@ -209,11 +223,7 @@ def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fi
     return d_r, d_t, dp
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_fixed", "max_iterations"),
-)
-def ba_solve(
+def ba_solve_impl(
     problem: BAProblem,
     n_fixed: int = 1,
     max_iterations: int = 50,
@@ -225,18 +235,24 @@ def ba_solve(
     lambda_max: float = 1e8,
     ftol: float = 1e-5,
     xtol: float = 1e-5,
+    axis_name: str | None = None,
 ):
     """Levenberg-Marquardt with Schur elimination.  Returns
     (rvecs, tvecs, points, BAStats).  Caller applies the reference's
-    divergence-discard rule using the stats."""
+    divergence-discard rule using the stats.
+
+    ``axis_name``: set when called inside shard_map with points/observations
+    sharded along that mesh axis (see parallel/dist_ba.py); every psum'd
+    quantity (costs, camera system) is then globally consistent, so all
+    shards take identical LM accept/reject decisions."""
     p = problem._replace(obs_mask=problem.obs_mask.astype(problem.uv.dtype))
 
     def cost_at(rv, tv, pt):
-        return robust_cost(_residuals(rv, tv, pt, p), huber_delta)
+        return _psum(robust_cost(_residuals(rv, tv, pt, p), huber_delta), axis_name)
 
     def sq_at(rv, tv, pt):
         r = _residuals(rv, tv, pt, p)
-        return jnp.sum(r * r)
+        return _psum(jnp.sum(r * r), axis_name)
 
     init_cost = cost_at(p.rvecs, p.tvecs, p.points)
     init_sq = sq_at(p.rvecs, p.tvecs, p.points)
@@ -247,16 +263,22 @@ def ba_solve(
 
     def body(s):
         rv, tv, pt, lam, cost, it, done = s
-        d_r, d_t, d_p = _solve_normal_equations(rv, tv, pt, p, lam, huber_delta, n_fixed)
+        d_r, d_t, d_p = _solve_normal_equations(
+            rv, tv, pt, p, lam, huber_delta, n_fixed, axis_name
+        )
         rv2, tv2, pt2 = rv + d_r, tv + d_t, pt + d_p
         new_cost = cost_at(rv2, tv2, pt2)
         accept = new_cost < cost
 
+        # cameras are replicated under sharding; only the point terms need
+        # the cross-shard sum
         step_norm = jnp.sqrt(
-            jnp.sum(d_r * d_r) + jnp.sum(d_t * d_t) + jnp.sum(d_p * d_p)
+            jnp.sum(d_r * d_r) + jnp.sum(d_t * d_t)
+            + _psum(jnp.sum(d_p * d_p), axis_name)
         )
         param_norm = jnp.sqrt(
-            jnp.sum(rv * rv) + jnp.sum(tv * tv) + jnp.sum(pt * pt)
+            jnp.sum(rv * rv) + jnp.sum(tv * tv)
+            + _psum(jnp.sum(pt * pt), axis_name)
         )
         converged = accept & (
             ((cost - new_cost) <= ftol * jnp.maximum(cost, 1e-12))
@@ -287,3 +309,9 @@ def ba_solve(
         accepted=cost < init_cost,
     )
     return rv, tv, pt, stats
+
+
+ba_solve = jax.jit(
+    ba_solve_impl,
+    static_argnames=("n_fixed", "max_iterations", "axis_name"),
+)

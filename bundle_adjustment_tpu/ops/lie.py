@@ -154,3 +154,44 @@ def invert_rt(R, t):
     """Invert an [R|t] rigid transform: returns (R^T, -R^T t)."""
     Rt = jnp.swapaxes(R, -1, -2)
     return Rt, -_mm(Rt, t[..., None])[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side float64 twins (numpy) for map bookkeeping — the device path stays
+# f32, but stored poses are f64 like the reference's numpy state
+# ---------------------------------------------------------------------------
+
+def so3_exp_np(w):
+    import numpy as np
+
+    w = np.asarray(w, np.float64)
+    theta = np.linalg.norm(w)
+    if theta < 1e-10:
+        W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        return np.eye(3) + W
+    k = w / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def so3_log_np(R):
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    cos_t = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    theta = np.arccos(cos_t)
+    if theta < 1e-10:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / 2
+    if theta > np.pi - 1e-6:
+        # near pi: axis from diagonal
+        A = (R + np.eye(3)) / 2
+        axis = np.sqrt(np.clip(np.diag(A), 0, 1))
+        # fix signs from off-diagonals, anchoring the largest component
+        i = int(np.argmax(axis))
+        s = np.array([A[i, 0], A[i, 1], A[i, 2]])
+        signs = np.sign(np.where(np.arange(3) == i, 1.0, s))
+        axis = axis * signs
+        return theta * axis / np.linalg.norm(axis)
+    return theta / (2 * np.sin(theta)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )

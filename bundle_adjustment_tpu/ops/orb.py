@@ -55,7 +55,12 @@ def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
     return np.clip(np.round(pts), -(_PATCH_R - 2), _PATCH_R - 2).astype(np.int32)
 
 
-_BRIEF_PATTERN = _make_brief_pattern()
+try:
+    # decorrelated pattern learned offline by tools/learn_brief_pattern.py
+    # (the ORB paper's greedy rBRIEF selection, our own training run)
+    from bundle_adjustment_tpu.ops.brief_pattern import PATTERN as _BRIEF_PATTERN
+except ImportError:  # fall back to the plain seeded Gaussian pattern
+    _BRIEF_PATTERN = _make_brief_pattern()
 
 # radius-15 disc offsets for the intensity centroid (precomputed host-side)
 _dy, _dx = np.mgrid[-_PATCH_R : _PATCH_R + 1, -_PATCH_R : _PATCH_R + 1]
@@ -247,7 +252,8 @@ def level_budgets(num_features: int, levels: int, scale: float) -> list[int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_features", "levels", "scale", "threshold", "height", "width"),
+    static_argnames=("num_features", "levels", "scale", "threshold", "height",
+                     "width", "overdetect"),
 )
 def extract(
     image_u8: jnp.ndarray,
@@ -258,12 +264,17 @@ def extract(
     threshold: float = 20.0,
     height: int = 720,
     width: int = 1280,
+    overdetect: float = 1.6,
 ) -> Keypoints:
     """Detect + describe up to ``num_features`` keypoints.  image_u8: (H, W)
     grayscale.  Returns a fixed-capacity Keypoints SoA (invalid slots masked).
+
+    ``overdetect`` inflates the per-level detection budgets so that the
+    cross-level dedup pass (below) still leaves ~num_features survivors; the
+    final output is compacted to the top num_features by response.
     """
     img0 = image_u8.astype(jnp.float32)
-    budgets = level_budgets(num_features, levels, scale)
+    budgets = level_budgets(int(num_features * overdetect), levels, scale)
 
     parts = []
     img = img0
@@ -292,4 +303,36 @@ def extract(
     lvl = jnp.concatenate([p[4] for p in parts])
     desc = jnp.concatenate([p[5] for p in parts])
     valid = jnp.concatenate([p[6] for p in parts])
-    return Keypoints(xy=xy, response=resp, angle=ang, size=size, level=lvl, desc=desc, valid=valid)
+
+    # Cross-level dedup: the same physical corner detected at adjacent pyramid
+    # levels yields near-identical descriptors, so a keypoint's own duplicate
+    # becomes its 2nd-nearest neighbor and Lowe's ratio test kills the true
+    # match.  Keep only the highest-response keypoint per 3px level-0 cell
+    # (segment-max with index tie-break; single pass, static shapes).
+    cell_w = (width + 2) // 3 + 1
+    cell = (
+        jnp.clip((xy[:, 1] / 3.0).astype(jnp.int32), 0, (height + 2) // 3) * cell_w
+        + jnp.clip((xy[:, 0] / 3.0).astype(jnp.int32), 0, cell_w - 1)
+    )
+    n_cells = ((height + 2) // 3 + 1) * cell_w
+    n = resp.shape[0]
+    # unique integer rank (best response = highest score) so exactly one
+    # winner per cell regardless of f32 ties
+    order = jnp.argsort(jnp.where(valid, -resp, jnp.inf))
+    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    score = -rank
+    cell_best = jax.ops.segment_max(score, cell, num_segments=n_cells)
+    valid = valid & (score == cell_best[cell])
+
+    # compact to the top num_features survivors by response (static shape)
+    sel_score = jnp.where(valid, resp, -jnp.inf)
+    _, sel = jax.lax.top_k(sel_score, num_features)
+    return Keypoints(
+        xy=xy[sel],
+        response=resp[sel],
+        angle=ang[sel],
+        size=size[sel],
+        level=lvl[sel],
+        desc=desc[sel],
+        valid=valid[sel] & jnp.isfinite(sel_score[sel]),
+    )

@@ -37,13 +37,29 @@ class PoseResult(NamedTuple):
     ok: jnp.ndarray           # () bool — enough valid points to estimate
 
 
-def _sample_indices(key, valid, num_hyp, sample_size):
-    """(num_hyp, sample_size) indices drawn uniformly from the valid slots."""
+def _sample_indices(key, valid, num_hyp, sample_size, quality=None):
+    """(num_hyp, sample_size) indices drawn from the valid slots.
+
+    With ``quality`` (lower = better, e.g. Hamming match distance), sampling
+    is progressive (PROSAC-style): hypothesis h draws from the best
+    ``k_h`` valid correspondences, with k growing linearly from
+    ~2x the sample size to all of them.  At low inlier rates this raises the
+    all-inlier sample probability by orders of magnitude over uniform
+    sampling — the batched counterpart of cv2's early-exit adaptive loop."""
     n = valid.shape[0]
-    order = jnp.argsort(~valid)            # valid indices first, stable
-    n_valid = jnp.sum(valid)
+    if quality is None:
+        order = jnp.argsort(~valid)        # valid indices first, stable
+    else:
+        order = jnp.argsort(jnp.where(valid, quality, jnp.inf))
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    if quality is None:
+        k_h = jnp.full((num_hyp, 1), 1.0) * jnp.maximum(n_valid, 1.0)
+    else:
+        frac = (jnp.arange(num_hyp, dtype=jnp.float32) + 1.0) / num_hyp
+        k0 = jnp.minimum(2.0 * sample_size, jnp.maximum(n_valid, 1.0))
+        k_h = (k0 + frac * jnp.maximum(n_valid - k0, 0.0))[:, None]
     u = jax.random.uniform(key, (num_hyp, sample_size))
-    r = jnp.floor(u * jnp.maximum(n_valid, 1).astype(u.dtype)).astype(jnp.int32)
+    r = jnp.floor(u * k_h).astype(jnp.int32)
     return order[jnp.clip(r, 0, n - 1)]
 
 
@@ -108,6 +124,68 @@ def _cheirality_counts(R, t, x1, x2, mask):
     return jnp.sum((d1 > 0) & (z2 > 0) & mask)
 
 
+def _tangent_basis(t):
+    """(3, 2) orthonormal basis of the plane perpendicular to unit vector t."""
+    e = jnp.where(jnp.abs(t[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0], t.dtype),
+                  jnp.array([0.0, 1.0, 0.0], t.dtype))
+    b1 = jnp.cross(t, e)
+    b1 = b1 / jnp.linalg.norm(b1).clip(1e-12)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def _polish_rt(R, t, x1, x2, valid, thr_norm_sq, iters=5):
+    """Gauss-Newton on the 5-dof essential manifold (rotation + translation
+    direction), minimizing the signed Sampson residual over current inliers —
+    the counterpart of the LM polish inside cv2's RANSAC that our batched
+    8-point path otherwise lacks.  Re-gates inliers each iteration."""
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+
+    def signed_sampson(E, w):
+        Ep1 = jnp.matmul(p1, E.T, precision=_HIGHEST)
+        Etp2 = jnp.matmul(p2, E, precision=_HIGHEST)
+        err = jnp.sum(p2 * Ep1, axis=-1)
+        denom = (Ep1[..., 0] ** 2 + Ep1[..., 1] ** 2
+                 + Etp2[..., 0] ** 2 + Etp2[..., 1] ** 2).clip(1e-12)
+        return err / jnp.sqrt(denom) * w
+
+    def step(carry, _):
+        R, t = carry
+        E = jnp.matmul(so3_hat(t), R, precision=_HIGHEST)
+        d = sampson_distance(E, x1, x2)
+        w = ((d < thr_norm_sq) & valid).astype(x1.dtype)
+        B = _tangent_basis(t)
+
+        def res(params):
+            R2 = jnp.matmul(so3_exp(params[:3]), R, precision=_HIGHEST)
+            t2 = t + B @ params[3:]
+            t2 = t2 / jnp.linalg.norm(t2).clip(1e-12)
+            return signed_sampson(jnp.matmul(so3_hat(t2), R2, precision=_HIGHEST), w)
+
+        p0 = jnp.zeros(5, x1.dtype)
+        r = res(p0)
+        J = jax.jacfwd(res)(p0)                           # (N, 5)
+        JtJ = jnp.matmul(J.T, J, precision=_HIGHEST) + 1e-9 * jnp.eye(5, dtype=x1.dtype)
+        g = jnp.matmul(J.T, r, precision=_HIGHEST)
+        delta = -jnp.linalg.solve(JtJ, g)
+        R_new = jnp.matmul(so3_exp(delta[:3]), R, precision=_HIGHEST)
+        t_new = t + B @ delta[3:]
+        t_new = t_new / jnp.linalg.norm(t_new).clip(1e-12)
+        # accept only if the inlier count does not drop
+        def count(R_, t_):
+            E_ = jnp.matmul(so3_hat(t_), R_, precision=_HIGHEST)
+            return jnp.sum((sampson_distance(E_, x1, x2) < thr_norm_sq) & valid)
+
+        better = count(R_new, t_new) >= count(R, t)
+        return (jnp.where(better, R_new, R), jnp.where(better, t_new, t)), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
 @functools.partial(jax.jit, static_argnames=("num_hyp", "refine_iters"))
 def estimate_essential_pose(
     key,
@@ -118,6 +196,7 @@ def estimate_essential_pose(
     threshold_px: float = 3.0,
     num_hyp: int = 1024,
     refine_iters: int = 2,
+    quality: jnp.ndarray | None = None,
 ) -> PoseResult:
     """Essential-matrix RANSAC + cheirality-max decomposition.
 
@@ -132,7 +211,7 @@ def estimate_essential_pose(
     f = (Kf[0, 0] + Kf[1, 1]) * 0.5
     thr_norm_sq = (threshold_px / f) ** 2  # Sampson in normalized units
 
-    idx = _sample_indices(key, valid, num_hyp, 8)           # (K, 8)
+    idx = _sample_indices(key, valid, num_hyp, 8, quality)  # (K, 8)
     Es = jax.vmap(lambda i: _eight_point(x1[i], x2[i]))(idx)  # (K, 3, 3)
 
     def score(E):
@@ -157,13 +236,19 @@ def estimate_essential_pose(
 
     d = sampson_distance(E, x1, x2)
     inliers = (d < thr_norm_sq) & valid
-    n_inl = jnp.sum(inliers)
-    n_valid = jnp.sum(valid)
 
     Rs, ts = _decompose_e(E)
     votes = jax.vmap(lambda R, t: _cheirality_counts(R, t, x1, x2, inliers))(Rs, ts)
     pick = jnp.argmax(votes)
     R, t = Rs[pick], ts[pick]
+
+    # manifold polish (recovers the borderline inliers cv2's internal LM gets)
+    R, t = _polish_rt(R, t, x1, x2, valid, thr_norm_sq)
+    E = jnp.matmul(so3_hat(t), R, precision=_HIGHEST)
+    d = sampson_distance(E, x1, x2)
+    inliers = (d < thr_norm_sq) & valid
+    n_inl = jnp.sum(inliers)
+    n_valid = jnp.sum(valid)
 
     return PoseResult(
         R=R,

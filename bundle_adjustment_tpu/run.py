@@ -1,0 +1,107 @@
+"""CLI driver: the TPU-native equivalent of the reference's main()
+(ref: src/main.py:20-102) with argparse presets instead of hard-coded paths.
+
+Usage:
+    python -m bundle_adjustment_tpu.run --preset desk \
+        --images /root/reference/desk_images --out /tmp/out
+    python -m bundle_adjustment_tpu.run --preset video --video data/video.mp4 \
+        --start 90 --end 1400 --out output_map
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from bundle_adjustment_tpu import config as cfg_mod
+from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+from bundle_adjustment_tpu.utils.event_log import EventLog
+from bundle_adjustment_tpu.utils.io import image_folder_frames, video_frames
+
+PRESETS = {
+    "desk": cfg_mod.preset_desk,
+    "scout": cfg_mod.preset_scout,
+    "video": cfg_mod.preset_video,
+    "lehman_indoor": cfg_mod.preset_lehman_indoor,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=sorted(PRESETS), default="video")
+    p.add_argument("--video", help="video file input")
+    p.add_argument("--images", help="image folder input (sorted)")
+    p.add_argument("--start", type=int, default=0, help="first video frame")
+    p.add_argument("--end", type=int, default=None, help="last video frame (exclusive)")
+    p.add_argument("--out", default="output_map")
+    p.add_argument("--debug", action="store_true",
+                   help="write per-keyframe debug artifacts (plots, PCDs)")
+    p.add_argument("--consistent-convention", action="store_true",
+                   help="use the geometrically consistent pose chain instead "
+                        "of the reference-parity quirk (see config.py)")
+    p.add_argument("--features", type=int, default=None)
+    p.add_argument("--no-clean", action="store_true",
+                   help="keep existing output dir contents")
+    p.add_argument("--pallas", action="store_true", default=None,
+                   help="force the Pallas matcher (default: auto on TPU)")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the jax backend (overrides JAX_PLATFORMS; "
+                        "useful where a site plugin pins the platform)")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = PRESETS[args.preset]()
+    overrides = {"output_dir": args.out, "debug": args.debug}
+    if args.consistent_convention:
+        overrides["consistent_convention"] = True
+    if args.features:
+        overrides["num_features"] = args.features
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    if not args.no_clean and os.path.isdir(args.out):
+        shutil.rmtree(args.out)  # ref: src/main.py:44-48 clean_directories
+    os.makedirs(args.out, exist_ok=True)
+
+    log = EventLog(os.path.join(args.out, "events.jsonl"), echo=True)
+    pipe = VisualOdometryPipeline(cfg, log=log, use_pallas_matcher=args.pallas)
+
+    if args.images:
+        frames = image_folder_frames(args.images)
+    elif args.video:
+        frames = video_frames(args.video, start=args.start, end=args.end)
+    else:
+        raise SystemExit("provide --video or --images")
+
+    t0 = time.perf_counter()
+    n_frames = 0
+    for frame in frames:
+        pipe.process_frame(frame)
+        n_frames += 1
+    elapsed = time.perf_counter() - t0
+
+    summary = pipe.finalize(args.out)
+    summary["frames"] = n_frames
+    summary["elapsed_s"] = round(elapsed, 3)
+    summary["frames_per_s"] = round(n_frames / max(elapsed, 1e-9), 3)
+    log.metric("frames_per_s", summary["frames_per_s"], frames=n_frames)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    log.close()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

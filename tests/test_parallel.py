@@ -1,0 +1,123 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh (SURVEY §4 plan d:
+distributed BA == single-host BA modulo reduction order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_tpu.ops import ba, hamming
+from bundle_adjustment_tpu.parallel import dist_ba, dist_match, mesh as mesh_mod
+
+from test_ba import make_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return mesh_mod.make_mesh(1, 8)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return mesh_mod.make_mesh(2, 4)
+
+
+def test_sharded_ba_matches_single(rng, mesh8):
+    prob, (rv, tv, X) = make_problem(rng, n_cams=4, n_pts=64, noise=0.2, perturb=0.05)
+    rv1, tv1, pt1, stats1 = ba.ba_solve(prob, n_fixed=1, max_iterations=30)
+
+    sharded = dist_ba.shard_problem(prob, 8)
+    rv8, tv8, pt8, stats8 = dist_ba.ba_solve_sharded(
+        sharded, mesh8, axis="pt", n_fixed=1, max_iterations=30
+    )
+    # identical solver path modulo reduction order -> very close results
+    assert abs(float(stats8.final_cost) - float(stats1.final_cost)) <= 1e-3 * max(
+        float(stats1.final_cost), 1.0
+    )
+    np.testing.assert_allclose(np.asarray(rv8), np.asarray(rv1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tv8), np.asarray(tv1), atol=1e-3)
+
+
+def test_shard_problem_roundtrip(rng):
+    prob, _ = make_problem(rng, n_cams=3, n_pts=50)
+    sharded = dist_ba.shard_problem(prob, 4)
+    # all live observations preserved
+    assert float(sharded.obs_mask.sum()) == float(prob.obs_mask.sum())
+    assert int(sharded.point_mask.sum()) == int(prob.point_mask.sum())
+    # local point indices stay within their shard block
+    P_s = sharded.points.shape[0] // 4
+    pi = np.asarray(sharded.pnt_idx)
+    om = np.asarray(sharded.obs_mask) > 0
+    O_s = len(pi) // 4
+    for s in range(4):
+        sel = om[s * O_s:(s + 1) * O_s]
+        assert (pi[s * O_s:(s + 1) * O_s][sel] < P_s).all()
+
+
+def test_windows_consensus(rng, mesh24):
+    # two overlapping windows over a 7-camera chain, solved in parallel with
+    # points sharded 4-way; shared keyframes get averaged (consensus)
+    prob_full, (rv, tv, X) = make_problem(rng, n_cams=7, n_pts=48, noise=0.1,
+                                          perturb=0.03)
+    wins = dist_ba.partition_windows(7, 2, overlap=1)
+    assert len(wins) == 2
+    shared = set(wins[0]) & set(wins[1])
+    assert shared, "windows must overlap"
+
+    problems = []
+    for w in wins:
+        keep = np.isin(np.asarray(prob_full.cam_idx), w)
+        remap = {int(k): i for i, k in enumerate(dict.fromkeys(w.tolist()))}
+        cam_idx = np.array([remap.get(int(c), 0) for c in np.asarray(prob_full.cam_idx)],
+                           np.int32)
+        sub = prob_full._replace(
+            rvecs=jnp.asarray(np.asarray(prob_full.rvecs)[list(remap)], jnp.float32),
+            tvecs=jnp.asarray(np.asarray(prob_full.tvecs)[list(remap)], jnp.float32),
+            cam_idx=jnp.asarray(cam_idx),
+            obs_mask=jnp.asarray(np.asarray(prob_full.obs_mask) * keep, jnp.float32),
+        )
+        problems.append(dist_ba.shard_problem(sub, 4))
+        # equal-length windows (unique kf lists for bookkeeping)
+    win_ids = [np.array(list(dict.fromkeys(w.tolist()))) for w in wins]
+
+    poses, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
+        problems, win_ids, mesh24, n_fixed=1, max_iterations=25
+    )
+    assert set(poses) == set(range(7))
+    for kf, (rvk, tvk) in poses.items():
+        assert np.isfinite(rvk).all() and np.isfinite(tvk).all()
+    # consensus poses close to ground truth (each window is well-constrained)
+    for kf in sorted(poses):
+        np.testing.assert_allclose(poses[kf][0], rv[kf], atol=5e-2)
+
+
+def test_match_sharded_equals_single(rng, mesh8):
+    d1 = hamming.pack_u8_to_u32(jnp.asarray(
+        rng.integers(0, 256, size=(256, 32), dtype=np.uint8)))
+    d2 = hamming.pack_u8_to_u32(jnp.asarray(
+        rng.integers(0, 256, size=(192, 32), dtype=np.uint8)))
+    v1 = jnp.ones(256, bool)
+    v2 = jnp.arange(192) < 150
+    idx0, mask0, best0 = jax.jit(hamming.match, static_argnames=("ratio",))(
+        d1, d2, v1, v2, ratio=0.8)
+    idx1, mask1, best1 = dist_match.match_sharded(d1, d2, v1, v2, mesh8,
+                                                  axis="pt", ratio=0.8)
+    np.testing.assert_array_equal(np.asarray(idx0), np.asarray(idx1))
+    np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask1))
+
+
+def test_match_ring_equals_single(rng, mesh8):
+    d1 = hamming.pack_u8_to_u32(jnp.asarray(
+        rng.integers(0, 256, size=(128, 32), dtype=np.uint8)))
+    d2 = hamming.pack_u8_to_u32(jnp.asarray(
+        rng.integers(0, 256, size=(256, 32), dtype=np.uint8)))
+    v2 = jnp.arange(256) < 200
+    best0, idx0, second0 = hamming.knn2(d1, d2, None, v2)
+    idx1, mask1, best1 = dist_match.match_ring(d1, d2, v2, mesh8, axis="pt",
+                                               ratio=0.8)
+    np.testing.assert_array_equal(np.asarray(best0), np.asarray(best1))
+    # ring fold visits blocks in a device-dependent order; ties may pick a
+    # different block, so compare distances (exact) and indices via distance
+    d_at = np.asarray(hamming.hamming_matrix(d1, d2))
+    np.testing.assert_array_equal(
+        d_at[np.arange(128), np.asarray(idx1)], np.asarray(best1).astype(int))
