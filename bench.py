@@ -1,0 +1,197 @@
+"""Headline benchmark: BA iterations/s on TPU vs the scipy CPU baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The problem is the representative LBA window scale of the video configs:
+6 cameras (1 gauge-fixed), 2048 map points, 8192 observations, 0.5 px noise —
+the same synthetic problem the scipy baseline was measured on (see
+BASELINE.md "CPU baseline numbers"; regenerate with --rebaseline, which runs
+scipy least_squares with jac_sparsity/huber/max_nfev=50 exactly as the
+reference does at src/bundle_adjuster.py:170-174).
+
+A "BA iteration" is one damped normal-equations step: for us one LM
+iteration (autodiff J + Schur + solve), for scipy one TRF Jacobian build
+(njev).  Extra fields report the Hamming-matcher and frontend throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# scipy TRF on the identical problem, measured on this machine's CPU
+# (njev per second; see BASELINE.md) — regenerate with --rebaseline
+SCIPY_BASELINE_ITERS_PER_S = None  # filled by --rebaseline; see below
+_BASELINE_FILE = "BASELINE_CPU.json"
+
+_C, _P, _OBS_PER_PT = 6, 2048, 4
+_K = np.array([[912.78, 0, 650.29], [0, 913.03, 362.72], [0, 0, 1.0]])
+
+
+def make_window_problem(rng):
+    from bundle_adjustment_tpu.ops import ba
+    from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+    X = rng.uniform([-4, -4, 4], [4, 4, 16], size=(_P, 3))
+    rvecs = np.stack([[0.02 * c, -0.03 * c, 0.01 * c] for c in range(_C)])
+    tvecs = np.stack([[0.3 * c, 0.05 * c, 0.02 * c] for c in range(_C)])
+
+    cam_idx = np.empty(_P * _OBS_PER_PT, np.int32)
+    pnt_idx = np.empty(_P * _OBS_PER_PT, np.int32)
+    uv = np.empty((_P * _OBS_PER_PT, 2))
+    o = 0
+    for p in range(_P):
+        for c in rng.choice(_C, size=_OBS_PER_PT, replace=False):
+            R = so3_exp_np(rvecs[c])
+            Xc = R @ X[p] + tvecs[c]
+            uv[o] = (Xc[:2] / Xc[2]) * [_K[0, 0], _K[1, 1]] + [_K[0, 2], _K[1, 2]]
+            uv[o] += rng.normal(size=2) * 0.5
+            cam_idx[o], pnt_idx[o] = c, p
+            o += 1
+
+    rv_p = rvecs.copy()
+    tv_p = tvecs.copy()
+    rv_p[1:] += rng.normal(size=(_C - 1, 3)) * 0.01
+    tv_p[1:] += rng.normal(size=(_C - 1, 3)) * 0.05
+    X_p = X + rng.normal(size=X.shape) * 0.05
+
+    prob = ba.BAProblem(
+        rvecs=jnp.asarray(rv_p, jnp.float32),
+        tvecs=jnp.asarray(tv_p, jnp.float32),
+        points=jnp.asarray(X_p, jnp.float32),
+        cam_idx=jnp.asarray(cam_idx),
+        pnt_idx=jnp.asarray(pnt_idx),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_mask=jnp.ones(len(uv), jnp.float32),
+        point_mask=jnp.ones(_P, bool),
+        K=jnp.asarray(_K, jnp.float32),
+    )
+    return prob, (rvecs, tvecs, X, cam_idx, pnt_idx, uv)
+
+
+def bench_tpu_ba(prob, repeats=8):
+    from bundle_adjustment_tpu.ops import ba
+
+    # compile
+    out = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
+    jax.block_until_ready(out)
+    total_iters = 0
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        rv, tv, pt, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
+        total_iters += int(stats.iterations)
+    jax.block_until_ready((rv, tv, pt))
+    dt = time.perf_counter() - t0
+    return total_iters / dt, float(stats.initial_sq), float(stats.final_sq)
+
+
+def bench_matcher(repeats=20):
+    from bundle_adjustment_tpu.ops import hamming
+    from bundle_adjustment_tpu.ops.hamming_pallas import knn2_pallas
+
+    rng = np.random.default_rng(0)
+    d1 = hamming.pack_u8_to_u32(
+        jnp.asarray(rng.integers(0, 256, size=(4096, 32), dtype=np.uint8)))
+    d2 = hamming.pack_u8_to_u32(
+        jnp.asarray(rng.integers(0, 256, size=(4096, 32), dtype=np.uint8)))
+    out = knn2_pallas(d1, d2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = knn2_pallas(d1, d2)
+    jax.block_until_ready(out)
+    return repeats / (time.perf_counter() - t0)  # full 4096^2 matches / s
+
+
+def measure_scipy_baseline(scene):
+    import cv2
+    from scipy.optimize import least_squares
+    from scipy.sparse import lil_matrix
+
+    rvecs, tvecs, X, cam_idx, pnt_idx, uv = scene
+    rng = np.random.default_rng(1)
+    O = len(uv)
+    n_adj = _C - 1
+
+    rv_p = rvecs.copy()
+    tv_p = tvecs.copy()
+    rv_p[1:] += rng.normal(size=(n_adj, 3)) * 0.01
+    tv_p[1:] += rng.normal(size=(n_adj, 3)) * 0.05
+    X_p = X + rng.normal(size=X.shape) * 0.05
+
+    def fun(x):
+        rv = np.vstack([rvecs[0], x[: n_adj * 3].reshape(-1, 3)])
+        tv = np.vstack([tvecs[0], x[n_adj * 3 : 2 * n_adj * 3].reshape(-1, 3)])
+        Xx = x[2 * n_adj * 3 :].reshape(-1, 3)
+        res = np.empty((O, 2))
+        for c in range(_C):
+            m = cam_idx == c
+            proj, _ = cv2.projectPoints(
+                Xx[pnt_idx[m]], rv[c].reshape(3, 1), tv[c].reshape(3, 1), _K, None)
+            res[m] = proj.reshape(-1, 2) - uv[m]
+        return res.ravel()
+
+    A = lil_matrix((2 * O, n_adj * 6 + _P * 3), dtype=int)
+    for o in range(O):
+        c, p = cam_idx[o], pnt_idx[o]
+        if c >= 1:
+            ca = c - 1
+            A[2 * o : 2 * o + 2, ca * 3 : (ca + 1) * 3] = 1
+            A[2 * o : 2 * o + 2, n_adj * 3 + ca * 3 : n_adj * 3 + (ca + 1) * 3] = 1
+        A[2 * o : 2 * o + 2, n_adj * 6 + p * 3 : n_adj * 6 + (p + 1) * 3] = 1
+
+    x0 = np.concatenate([rv_p[1:].ravel(), tv_p[1:].ravel(), X_p.ravel()])
+    t0 = time.time()
+    res = least_squares(fun, x0, jac_sparsity=A, loss="huber", f_scale=1.0,
+                        xtol=1e-5, ftol=1e-5, max_nfev=50)
+    dt = time.time() - t0
+    return {"njev": res.njev, "nfev": res.nfev, "elapsed_s": dt,
+            "iters_per_s": res.njev / dt, "cost": res.cost}
+
+
+def load_baseline():
+    import os
+
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)["iters_per_s"]
+    return SCIPY_BASELINE_ITERS_PER_S
+
+
+def main():
+    if "--rebaseline" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        rng = np.random.default_rng(7)
+        _, scene = make_window_problem(rng)
+        result = measure_scipy_baseline(scene)
+        with open(_BASELINE_FILE, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return
+
+    rng = np.random.default_rng(7)
+    prob, _ = make_window_problem(rng)
+    it_per_s, init_sq, final_sq = bench_tpu_ba(prob)
+    match_per_s = bench_matcher()
+    baseline = load_baseline()
+    vs = it_per_s / baseline if baseline else None
+    print(json.dumps({
+        "metric": "ba_iterations_per_s",
+        "value": round(it_per_s, 3),
+        "unit": "LM iterations/s (C=6, P=2048, O=8192 window)",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "scipy_cpu_iters_per_s": baseline,
+        "ba_cost_reduction": round(init_sq / max(final_sq, 1e-9), 1),
+        "hamming_4096sq_matches_per_s": round(match_per_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

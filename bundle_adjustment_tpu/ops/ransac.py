@@ -22,6 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bundle_adjustment_tpu.ops.five_point import five_point_candidates
 from bundle_adjustment_tpu.ops.lie import so3_exp, so3_hat
 from bundle_adjustment_tpu.ops.projection import pixel_to_normalized, sampson_distance
 
@@ -186,7 +187,7 @@ def _polish_rt(R, t, x1, x2, valid, thr_norm_sq, iters=5):
     return R, t
 
 
-@functools.partial(jax.jit, static_argnames=("num_hyp", "refine_iters"))
+@functools.partial(jax.jit, static_argnames=("num_hyp", "refine_iters", "solver"))
 def estimate_essential_pose(
     key,
     uv1: jnp.ndarray,
@@ -197,6 +198,7 @@ def estimate_essential_pose(
     num_hyp: int = 1024,
     refine_iters: int = 2,
     quality: jnp.ndarray | None = None,
+    solver: str = "5pt",
 ) -> PoseResult:
     """Essential-matrix RANSAC + cheirality-max decomposition.
 
@@ -204,6 +206,12 @@ def estimate_essential_pose(
     Semantics match the reference chain findEssentialMat(RANSAC, prob=.999,
     threshold)+recoverPose (src/pose_estimator.py:27-31): returns the relative
     pose with x2 = R x1 + t and the epipolar-inlier mask.
+
+    ``solver``: "5pt" (default — Nister/Stewenius minimal solver, exact on
+    the sample, matching cv2's internals; ~num_hyp/10 minimal samples each
+    yielding up to 10 candidates) or "8pt" (Hartley-normalized least-squares
+    minimal solver; cheaper per sample but needs all-inlier *and* low-noise
+    samples, measurably weaker on wide-baseline data).
     """
     Kf = K.astype(uv1.dtype)
     x1 = pixel_to_normalized(Kf, uv1)
@@ -211,15 +219,23 @@ def estimate_essential_pose(
     f = (Kf[0, 0] + Kf[1, 1]) * 0.5
     thr_norm_sq = (threshold_px / f) ** 2  # Sampson in normalized units
 
-    idx = _sample_indices(key, valid, num_hyp, 8, quality)  # (K, 8)
-    Es = jax.vmap(lambda i: _eight_point(x1[i], x2[i]))(idx)  # (K, 3, 3)
-
     def score(E):
         d = sampson_distance(E, x1, x2)
         inl = (d < thr_norm_sq) & valid
         return jnp.sum(inl)
 
-    counts = jax.vmap(score)(Es)
+    if solver == "5pt":
+        n_samples = max(num_hyp // 10, 32)
+        idx = _sample_indices(key, valid, n_samples, 5, quality)      # (S, 5)
+        Es, cand_ok = five_point_candidates(x1[idx], x2[idx])         # (S,10,3,3)
+        Es = Es.reshape(-1, 3, 3)
+        cand_ok = cand_ok.reshape(-1)
+        counts = jnp.where(cand_ok, jax.vmap(score)(Es), -1)
+    else:
+        idx = _sample_indices(key, valid, num_hyp, 8, quality)        # (K, 8)
+        Es = jax.vmap(lambda i: _eight_point(x1[i], x2[i]))(idx)      # (K, 3, 3)
+        counts = jax.vmap(score)(Es)
+
     best = jnp.argmax(counts)
     E = Es[best]
 
