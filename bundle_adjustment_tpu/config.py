@@ -56,6 +56,11 @@ class BAConfig:
     src/parameters.py:19)."""
 
     window_size: int = 5          # adjustable KFs per window; oldest is the fixed gauge anchor
+    # cameras gauge-fixed per window.  1 = reference behavior
+    # (src/bundle_adjuster.py:141-142) which leaves the monocular SCALE gauge
+    # free — each window can rescale, drifting the trajectory.  2 pins scale
+    # too (the effective value is capped at window length - 1).
+    n_fixed: int = 2
     max_iterations: int = 50      # mirrors scipy max_nfev=50 (src/bundle_adjuster.py:173)
     xtol: float = 1e-5
     ftol: float = 1e-5
@@ -103,6 +108,51 @@ class PipelineConfig:
     min_tracked_features: int = 20
     pose_inlier_ratio: float = 0.7
     pose_inlier_numbers: int = 20
+
+    # PnP-based metric scale propagation (the "PnP pose chain" of BASELINE
+    # config 2): recoverPose translations are unit-norm, so without this every
+    # keyframe step has length 1 and the trajectory scale-drifts (the
+    # reference leans on BA to mop this up; PnP against tracked map points
+    # recovers the true relative scale directly).
+    pnp_scale: bool = True
+    pnp_scale_min_tracked: int = 8
+
+    # After LBA, keyframes newer than the window (always at least the newest
+    # one, which the reference's window choice excludes —
+    # src/bundle_adjuster.py:140) keep stale poses relative to the adjusted
+    # map; each insertion then compounds the inconsistency (observed: BA
+    # initial costs exploding 1e3 -> 1e12 over 14 keyframes).  This applies
+    # the last optimized keyframe's pose correction to them, preserving their
+    # relative pose — standard sliding-window chain propagation.  The
+    # reference does not do this; disable for strict behavior parity.
+    propagate_ba_correction: bool = True
+
+    # Covisibility re-observation: match each new keyframe against this many
+    # ADDITIONAL recent keyframes (beyond the last one) and register
+    # reprojection-verified re-observations.  Longer feature tracks pin the
+    # gauge across windows and cut drift.  The reference only matches the
+    # last keyframe (src/pipeline.py:52-53); its exhaustive variant exists as
+    # dead code (src/pipeline.py:112-223).  0 = reference behavior.
+    covis_keyframes: int = 2
+    covis_reproj_px: float = 4.0
+
+    # Post-BA observation pruning: after an accepted BA, observations whose
+    # reprojection residual exceeds this are removed (0 = off).  Standard map
+    # hygiene the reference lacks; its BA guard at src/bundle_adjuster.py:213
+    # is the hook (SURVEY §5).
+    prune_obs_reproj_px: float = 12.0
+
+    # One completion BA over ALL keyframes at finalize time: the reference's
+    # global BA always excludes the newest keyframe (window [-(w+1):-1] with
+    # window_size = num_keyframes, src/main.py:80-89), leaving the chain head
+    # unoptimized.
+    final_full_ba: bool = True
+
+    # Pose-only refinement of each new keyframe over all its registered
+    # observations with the map held fixed (ORB-SLAM-style motion-only BA;
+    # runs through the same Schur solver with every point masked out of the
+    # parameter set).  The reference has no counterpart.
+    pose_refine: bool = True
 
     # relocalization (lehman_indoor config; built fresh per SURVEY §5)
     reloc_enabled: bool = False

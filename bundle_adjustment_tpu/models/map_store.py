@@ -220,10 +220,11 @@ class Map:
 
         alive = self._obs_alive[: self._n_obs]
         in_win = np.isin(self._obs_kf[: self._n_obs], window_kf_ids) & alive
-        okf = self._obs_kf[: self._n_obs][in_win]
-        omp = self._obs_mp[: self._n_obs][in_win]
-        okp = self._obs_kp[: self._n_obs][in_win]
-        ouv = self._obs_uv[: self._n_obs][in_win]
+        obs_rows = np.flatnonzero(in_win)      # original table rows (for pruning)
+        okf = self._obs_kf[obs_rows]
+        omp = self._obs_mp[obs_rows]
+        okp = self._obs_kp[obs_rows]
+        ouv = self._obs_uv[obs_rows]
         if len(omp) == 0:
             return None
 
@@ -234,6 +235,7 @@ class Map:
             keep_p = np.argsort(-counts)[:max_points]
             keep_mask = np.isin(pnt_idx, keep_p)
             okf, omp, okp, ouv = okf[keep_mask], omp[keep_mask], okp[keep_mask], ouv[keep_mask]
+            obs_rows = obs_rows[keep_mask][:max_obs]
             okf, omp, okp, ouv = okf[:max_obs], omp[:max_obs], okp[:max_obs], ouv[:max_obs]
             mp_ids, pnt_idx = np.unique(omp, return_inverse=True)
 
@@ -270,7 +272,16 @@ class Map:
             point_mask=jnp.asarray(point_mask),
             K=jnp.asarray(K, dtype),
         )
-        return problem, mp_ids
+        return problem, mp_ids, obs_rows
+
+    def kill_observations(self, obs_rows: np.ndarray):
+        """Remove specific observation-table rows (post-BA outlier pruning);
+        clears the kp->mp back-pointers for the removed rows."""
+        self._obs_alive[obs_rows] = False
+        for r in obs_rows:
+            kf = self.keyframes[self._obs_kf[r]]
+            if kf.kp_to_mp[self._obs_kp[r]] == self._obs_mp[r]:
+                kf.kp_to_mp[self._obs_kp[r]] = -1
 
     def apply_ba_result(self, window_kf_ids: list[int], mp_ids: np.ndarray,
                         rvecs, tvecs, points, n_fixed: int = 1):

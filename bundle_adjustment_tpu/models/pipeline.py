@@ -160,6 +160,25 @@ class VisualOdometryPipeline:
         t_rel = np.asarray(pose.t, np.float64)
         inl = np.asarray(pose.inliers)
 
+        # PnP pose chain against tracked map points (see config.pnp_scale):
+        # recoverPose t is unit-norm, and a purely relative chain compounds
+        # both scale and pose error.  When PnP locks onto the map, its pose
+        # IS the new world pose (consistent mode) or at least fixes the
+        # metric scale of t_rel (reference-parity mode).
+        world_pose_override = None
+        if self.cfg.pnp_scale:
+            pnp = self._pnp_pose(last_kf, kp_xy, match_idx, match_mask)
+            if pnp is not None:
+                R_pnp, t_pnp = pnp
+                R_rel_pnp = R_pnp @ last_kf.R.T
+                t_rel_pnp = t_pnp - R_rel_pnp @ last_kf.t
+                if self.cfg.consistent_convention:
+                    world_pose_override = (R_pnp, t_pnp)
+                    R_rel, t_rel = R_rel_pnp, t_rel_pnp
+                else:
+                    s = float(np.clip(np.linalg.norm(t_rel_pnp), 1e-3, 1e3))
+                    t_rel = t_rel * s
+
         # -- keyframe decision (ref: src/keyframe_detector.py:21-87) -------
         tracked_slots = inl & (last_kf.kp_to_mp >= 0)
         tracked_mp = last_kf.kp_to_mp[tracked_slots]
@@ -189,7 +208,8 @@ class VisualOdometryPipeline:
         kf_id = self.map.new_keyframe_id()
         self.log.keyframe_trigger(self.frame_idx, kf_id, decision.reason,
                                   decision.metrics)
-        self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel)
+        self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel,
+                               world_pose=world_pose_override)
         ba_result = self.run_local_ba()
         return {
             "status": "keyframe",
@@ -199,6 +219,39 @@ class VisualOdometryPipeline:
             "inlier_ratio": inlier_ratio,
             "ba": ba_result,
         }
+
+    def _pnp_pose(self, last_kf: Keyframe, kp_xy, match_idx, match_mask):
+        """World extrinsic (R, t) of the current frame from PnP against the
+        tracked map points, or None when tracking is too thin / PnP fails.
+        Stored poses are interpreted as extrinsics — exactly how the BA
+        projects them — so the PnP pose is directly comparable."""
+        tracked = match_mask & (last_kf.kp_to_mp >= 0)
+        slots = np.flatnonzero(tracked)
+        if len(slots) < self.cfg.pnp_scale_min_tracked:
+            return None
+        X = self.map.points()[last_kf.kp_to_mp[slots]]
+        uv = kp_xy[match_idx[slots]]
+        cap = max(64, 1 << int(np.ceil(np.log2(len(slots)))))
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        Xp[: len(slots)] = X
+        uvp[: len(slots)] = uv
+        valid = np.arange(cap) < len(slots)
+
+        res = ransac.estimate_pnp_pose(
+            self._next_key(),
+            jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(valid),
+            jnp.asarray(self.K, jnp.float32),
+            reproj_threshold_px=self.cfg.pnp_reproj_err_px,
+            num_hyp=self.cfg.pnp_iters,
+        )
+        if not bool(res.ok) or int(res.num_inliers) < self.cfg.pnp_scale_min_tracked:
+            return None
+        R_pnp = np.asarray(res.R, np.float64)
+        t_pnp = np.asarray(res.t, np.float64)
+        if not (np.isfinite(R_pnp).all() and np.isfinite(t_pnp).all()):
+            return None
+        return R_pnp, t_pnp
 
     def _tracking_lost(self, frame_bgr, kp, why: str) -> dict:
         self._lost_frames += 1
@@ -238,10 +291,14 @@ class VisualOdometryPipeline:
         return (last_kf.R @ X_rel.T).T + last_kf.t  # reference formula
 
     def _add_new_keyframe(self, frame_bgr, kp: orb.Keypoints, last_kf: Keyframe,
-                          match_idx, inl, R_rel, t_rel):
+                          match_idx, inl, R_rel, t_rel, world_pose=None):
         """Keyframe insertion with re-observation bookkeeping + triangulation
-        (ref: src/pipeline.py:226-313)."""
-        world_R, world_t = self._compose(last_kf.R, last_kf.t, R_rel, t_rel)
+        (ref: src/pipeline.py:226-313).  ``world_pose`` (from the PnP chain)
+        overrides the composed pose when provided."""
+        if world_pose is not None:
+            world_R, world_t = world_pose
+        else:
+            world_R, world_t = self._compose(last_kf.R, last_kf.t, R_rel, t_rel)
 
         kp_xy = np.asarray(kp.xy, np.float64)
         new_kf = Keyframe(
@@ -303,6 +360,12 @@ class VisualOdometryPipeline:
                 self.map.add_observations(new_kf.kf_id, mp_ids, match_idx[keep],
                                           kp_xy[match_idx[keep]])
 
+        if self.cfg.covis_keyframes > 0:
+            self._covisibility_reobserve(new_kf, exclude_id=last_kf.kf_id)
+
+        if self.cfg.pose_refine:
+            self._refine_pose_only(new_kf.kf_id)
+
         if self.cfg.cull_enabled:
             self._cull_points()
 
@@ -317,6 +380,79 @@ class VisualOdometryPipeline:
                 self.map.trajectory(self.cfg.consistent_convention), rots,
                 os.path.join(out, "trajectory_3d"),
                 f"kf{new_kf.kf_id:04d}")
+
+    def _covisibility_reobserve(self, new_kf: Keyframe, exclude_id: int):
+        """Register reprojection-verified re-observations of map points seen
+        by recent keyframes (beyond the last one) — longer tracks, less drift.
+        Projection uses the extrinsic interpretation of stored poses, i.e.
+        exactly the model BA optimizes."""
+        recent = [k for k in self.map.sorted_kf_ids()
+                  if k not in (new_kf.kf_id, exclude_id)][-self.cfg.covis_keyframes:]
+        for kf_id in recent:
+            kf = self.map.keyframes[kf_id]
+            idx, mask, _ = self._match_fn(
+                kf.desc, jnp.asarray(kf.kp_valid), new_kf.desc,
+                jnp.asarray(new_kf.kp_valid)
+            )
+            idx = np.asarray(idx)
+            mask = np.asarray(mask)
+            cand = mask & (kf.kp_to_mp >= 0)
+            slots = np.flatnonzero(cand)
+            if not len(slots):
+                continue
+            new_slots = idx[slots]
+            # one observation per new keypoint; skip already-assigned ones
+            _, first = np.unique(new_slots, return_index=True)
+            keep = np.sort(first)
+            slots, new_slots = slots[keep], new_slots[keep]
+            free = new_kf.kp_to_mp[new_slots] < 0
+            slots, new_slots = slots[free], new_slots[free]
+            if not len(slots):
+                continue
+            mp = kf.kp_to_mp[slots]
+            X = self.map.points()[mp]
+            Xc = X @ new_kf.R.T + new_kf.t
+            z = Xc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                uv_hat = (Xc[:, :2] / z[:, None]) * [self.K[0, 0], self.K[1, 1]] \
+                    + [self.K[0, 2], self.K[1, 2]]
+            err = np.linalg.norm(uv_hat - new_kf.xy[new_slots], axis=1)
+            ok = (z > 1e-6) & np.isfinite(err) & (err < self.cfg.covis_reproj_px)
+            if ok.any():
+                self.map.add_observations(
+                    new_kf.kf_id, mp[ok], new_slots[ok], new_kf.xy[new_slots[ok]]
+                )
+                self.log.emit(
+                    "covis",
+                    f"    -> Covisibility: +{int(ok.sum())} re-observations vs KF {kf_id}",
+                    kf_id=new_kf.kf_id, anchor_kf=kf_id, added=int(ok.sum()),
+                )
+
+    def _refine_pose_only(self, kf_id: int):
+        """Motion-only BA: optimize one keyframe's pose over its observations
+        with the map fixed.  Implemented through the regular Schur solver by
+        masking every point out of the parameter set (point_mask False =>
+        V^-1 = 0 => the reduced system is the camera block alone)."""
+        gathered = self.map.gather_window([kf_id], self.K,
+                                          self.cfg.ba.max_points, self.cfg.ba.max_obs)
+        if gathered is None:
+            return
+        problem, mp_ids, _ = gathered
+        n_live = int(np.asarray(problem.obs_mask).sum())
+        if n_live < 10:
+            return
+        problem = problem._replace(point_mask=jnp.zeros_like(problem.point_mask))
+        rv, tv, _, stats = ba.ba_solve(
+            problem, n_fixed=0, max_iterations=10,
+            huber_delta=self.cfg.ba.huber_delta,
+        )
+        stats = jax.device_get(stats)
+        if bool(stats.accepted) and float(stats.final_sq) < float(stats.initial_sq):
+            kf = self.map.keyframes[kf_id]
+            from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+            kf.R = so3_exp_np(np.asarray(rv[0], np.float64))
+            kf.t = np.asarray(tv[0], np.float64)
 
     # -- bundle adjustment glue -------------------------------------------
 
@@ -334,14 +470,27 @@ class VisualOdometryPipeline:
         if len(window) < 2:
             self.log.lba_skipped("No adjustable keyframes.")
             return None
+        return self._solve_window(window, all_ids, global_ba=global_ba)
 
+    def run_full_ba(self) -> Optional[dict]:
+        """Full BA over ALL keyframes, including the newest (the reference's
+        global BA always excludes it via the [-(w+1):-1] window — this is the
+        opt-in completion pass; see config.final_full_ba)."""
+        all_ids = self.map.sorted_kf_ids()
+        if len(all_ids) < 3:
+            return None
+        return self._solve_window(all_ids, all_ids, global_ba=True)
+
+    def _solve_window(self, window, all_ids, global_ba: bool = False) -> Optional[dict]:
+
+        n_fixed = max(1, min(self.cfg.ba.n_fixed, len(window) - 1))
         gathered = self.map.gather_window(
             window, self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs
         )
         if gathered is None:
             self.log.lba_skipped("No points in the local window.")
             return None
-        problem, mp_ids = gathered
+        problem, mp_ids, obs_rows = gathered
 
         if self.cfg.debug:
             viz.plot_and_save_sparsity(
@@ -351,10 +500,14 @@ class VisualOdometryPipeline:
                 f"kf{window[0]:04d}_{window[-1]:04d}",
             )
 
+        # save the last optimized KF's pose for chain propagation
+        last_opt = self.map.keyframes[window[-1]]
+        E_before = (last_opt.R.copy(), last_opt.t.copy())
+
         t0 = time.perf_counter()
         rv, tv, pts, stats = ba.ba_solve(
             problem,
-            n_fixed=1,
+            n_fixed=n_fixed,
             max_iterations=self.cfg.ba.max_iterations,
             huber_delta=self.cfg.ba.huber_delta,
             lambda_init=self.cfg.ba.lambda_init,
@@ -377,7 +530,35 @@ class VisualOdometryPipeline:
             return {"diverged": True, "initial": float(stats.initial_sq),
                     "final": float(stats.final_sq), "elapsed_s": elapsed}
 
-        self.map.apply_ba_result(window, mp_ids, rv, tv, pts, n_fixed=1)
+        self.map.apply_ba_result(window, mp_ids, rv, tv, pts, n_fixed=n_fixed)
+
+        if self.cfg.prune_obs_reproj_px > 0:
+            # post-BA outlier pruning on the solved window's residuals
+            r = np.asarray(ba._residuals(rv, tv, pts, problem))
+            norms = np.linalg.norm(r, axis=1)
+            live = np.asarray(problem.obs_mask) > 0
+            bad = live & (norms > self.cfg.prune_obs_reproj_px)
+            n_bad = int(bad[: len(obs_rows)].sum())
+            if n_bad:
+                self.map.kill_observations(obs_rows[bad[: len(obs_rows)]])
+                self.log.emit("prune",
+                              f"    -> Pruned {n_bad} outlier observations after BA.",
+                              pruned=n_bad)
+
+        if self.cfg.propagate_ba_correction:
+            # E_j' = (E_j E_k^-1) E_k'  keeps each post-window KF's relative
+            # pose to the last optimized KF k (extrinsic interpretation —
+            # the one BA itself uses)
+            R_b, t_b = E_before
+            R_a, t_a = last_opt.R, last_opt.t
+            for j in all_ids:
+                if j <= window[-1]:
+                    continue
+                kf = self.map.keyframes[j]
+                R_rel = kf.R @ R_b.T
+                t_rel = kf.t - R_rel @ t_b
+                kf.R = R_rel @ R_a
+                kf.t = R_rel @ t_a + t_rel
 
         if self.cfg.debug:
             from bundle_adjustment_tpu.utils.io import write_pcd
@@ -432,6 +613,10 @@ class VisualOdometryPipeline:
         """Global BA + artifact export (ref: src/main.py:80-102)."""
         out = out_dir or self.cfg.output_dir
         result = self.run_global_ba()
+        if self.cfg.final_full_ba:
+            full = self.run_full_ba()
+            if full is not None:
+                result = full
         pts, colors = self.map.get_pcd()
         os.makedirs(out, exist_ok=True)
         if len(pts):
@@ -443,6 +628,18 @@ class VisualOdometryPipeline:
         rots = [self.map.keyframes[k].R for k in self.map.sorted_kf_ids()]
         viz.plot_and_save_trajectory_3d(self.map.trajectory(self.cfg.consistent_convention), rots,
                                         os.path.join(out, "trajectory_3d"), "final")
+
+        # machine-readable trajectory (TUM-ish: frame_idx kf_id cx cy cz + so3)
+        from bundle_adjustment_tpu.ops.lie import so3_log_np
+
+        traj = self.map.trajectory(self.cfg.consistent_convention)
+        with open(os.path.join(out, "trajectory.txt"), "w") as f:
+            f.write("# frame_idx kf_id cx cy cz wx wy wz\n")
+            for k, c in zip(self.map.sorted_kf_ids(), traj):
+                kf = self.map.keyframes[k]
+                w = so3_log_np(kf.R)
+                f.write(f"{kf.frame_idx} {k} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                        f"{w[0]:.6f} {w[1]:.6f} {w[2]:.6f}\n")
         return {
             "num_keyframes": self.map.num_keyframes,
             "num_points": self.map.num_points,

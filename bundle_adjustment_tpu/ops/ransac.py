@@ -175,12 +175,14 @@ def _polish_rt(R, t, x1, x2, valid, thr_norm_sq, iters=5):
         R_new = jnp.matmul(so3_exp(delta[:3]), R, precision=_HIGHEST)
         t_new = t + B @ delta[3:]
         t_new = t_new / jnp.linalg.norm(t_new).clip(1e-12)
-        # accept only if the inlier count does not drop
-        def count(R_, t_):
+        # accept on the MSAC score (sharper than inlier count on the
+        # small-baseline plateau where the count is flat)
+        def msac(R_, t_):
             E_ = jnp.matmul(so3_hat(t_), R_, precision=_HIGHEST)
-            return jnp.sum((sampson_distance(E_, x1, x2) < thr_norm_sq) & valid)
+            return jnp.sum(jnp.minimum(sampson_distance(E_, x1, x2), thr_norm_sq)
+                           * valid)
 
-        better = count(R_new, t_new) >= count(R, t)
+        better = msac(R_new, t_new) <= msac(R, t)
         return (jnp.where(better, R_new, R), jnp.where(better, t_new, t)), None
 
     (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
@@ -219,10 +221,16 @@ def estimate_essential_pose(
     f = (Kf[0, 0] + Kf[1, 1]) * 0.5
     thr_norm_sq = (threshold_px / f) ** 2  # Sampson in normalized units
 
-    def score(E):
+    def msac(E):
+        # truncated-Sampson (MSAC) score: lower is better.  Discriminates
+        # within the inlier-count plateau that small-baseline pairs produce
+        # (the count is flat over a wide model manifold there).
         d = sampson_distance(E, x1, x2)
-        inl = (d < thr_norm_sq) & valid
-        return jnp.sum(inl)
+        return jnp.sum(jnp.minimum(d, thr_norm_sq) * valid)
+
+    def count(E):
+        d = sampson_distance(E, x1, x2)
+        return jnp.sum((d < thr_norm_sq) & valid)
 
     if solver == "5pt":
         n_samples = max(num_hyp // 10, 32)
@@ -230,13 +238,13 @@ def estimate_essential_pose(
         Es, cand_ok = five_point_candidates(x1[idx], x2[idx])         # (S,10,3,3)
         Es = Es.reshape(-1, 3, 3)
         cand_ok = cand_ok.reshape(-1)
-        counts = jnp.where(cand_ok, jax.vmap(score)(Es), -1)
+        scores = jnp.where(cand_ok, jax.vmap(msac)(Es), jnp.inf)
     else:
         idx = _sample_indices(key, valid, num_hyp, 8, quality)        # (K, 8)
         Es = jax.vmap(lambda i: _eight_point(x1[i], x2[i]))(idx)      # (K, 3, 3)
-        counts = jax.vmap(score)(Es)
+        scores = jax.vmap(msac)(Es)
 
-    best = jnp.argmax(counts)
+    best = jnp.argmin(scores)
     E = Es[best]
 
     # IRLS refinement: re-solve with all current inliers, repeat
@@ -244,8 +252,7 @@ def estimate_essential_pose(
         d = sampson_distance(E, x1, x2)
         w = ((d < thr_norm_sq) & valid).astype(x1.dtype)
         E2 = _eight_point(x1, x2, w)
-        # keep the refit only if it does not lose inliers
-        better = score(E2) >= score(E)
+        better = msac(E2) <= msac(E)
         return jnp.where(better, E2, E), None
 
     E, _ = jax.lax.scan(refine, E, None, length=refine_iters)

@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the geometrically consistent pose chain instead "
                         "of the reference-parity quirk (see config.py)")
     p.add_argument("--features", type=int, default=None)
+    p.add_argument("--fx", type=float, default=None,
+                   help="override camera intrinsics (use with --fy/--cx/--cy)")
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
+    p.add_argument("--size", default=None, metavar="WxH",
+                   help="frame size for the camera model, e.g. 640x480")
     p.add_argument("--no-clean", action="store_true",
                    help="keep existing output dir contents")
     p.add_argument("--pallas", action="store_true", default=None,
@@ -68,6 +75,18 @@ def main(argv=None) -> dict:
         overrides["consistent_convention"] = True
     if args.features:
         overrides["num_features"] = args.features
+    if args.fx is not None:
+        from bundle_adjustment_tpu.config import CameraModel
+
+        w, h = (cfg.camera.width, cfg.camera.height)
+        if args.size:
+            w, h = (int(x) for x in args.size.lower().split("x"))
+        overrides["camera"] = CameraModel(
+            fx=args.fx, fy=args.fy if args.fy is not None else args.fx,
+            cx=args.cx if args.cx is not None else w / 2,
+            cy=args.cy if args.cy is not None else h / 2,
+            width=w, height=h,
+        )
     cfg = dataclasses.replace(cfg, **overrides)
 
     if not args.no_clean and os.path.isdir(args.out):

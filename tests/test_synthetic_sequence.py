@@ -1,0 +1,105 @@
+"""End-to-end VO on a rendered synthetic sequence with ground-truth poses:
+ATE measurement (SURVEY §4 plan b/c) and the video-ingestion path."""
+
+import numpy as np
+import pytest
+
+from bundle_adjustment_tpu.config import CameraModel, PipelineConfig, KeyframeCriteria, BAConfig
+from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+from bundle_adjustment_tpu.utils.event_log import EventLog
+from bundle_adjustment_tpu.utils.metrics import ate_rmse, umeyama_align
+from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence, write_video
+
+
+def make_cfg(K, consistent):
+    return PipelineConfig(
+        camera=CameraModel(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                           width=640, height=480),
+        num_features=1200,
+        pyramid_levels=4,
+        ratio_test=0.75,
+        min_tracked_features=15,
+        pose_inlier_ratio=0.4,
+        pose_inlier_numbers=15,
+        consistent_convention=consistent,
+        keyframe=KeyframeCriteria(min_median_displacement_px=12.0),
+        ba=BAConfig(window_size=4, max_points=4096, max_obs=16384),
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    return synthetic_sequence(n_frames=16, seed=0)
+
+
+def run_pipeline(sequence, consistent):
+    frames, K, gt_C, gt_R = sequence
+    cfg = make_cfg(K, consistent)
+    pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False),
+                                  use_pallas_matcher=False)
+    frame_of_kf = {}
+    for i, f in enumerate(frames):
+        r = pipe.process_frame(f)
+        if r.get("status") in ("initialized", "keyframe"):
+            frame_of_kf[r["kf_id"]] = i
+    pipe.run_global_ba()
+    pipe.run_full_ba()
+    return pipe, frame_of_kf, gt_C
+
+
+def test_consistent_convention_ate(sequence):
+    """With the geometrically consistent pose chain, the estimated keyframe
+    trajectory must match ground truth within 5% of the scene's motion scale
+    after similarity alignment."""
+    pipe, frame_of_kf, gt_C = run_pipeline(sequence, consistent=True)
+    assert pipe.map.num_keyframes >= 5, pipe.map.num_keyframes
+
+    est = pipe.map.trajectory(consistent=True)
+    ids = pipe.map.sorted_kf_ids()
+    gt = np.stack([gt_C[frame_of_kf[k]] for k in ids])
+    ate = ate_rmse(est, gt, with_scale=True)
+    motion_scale = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate < 0.05 * motion_scale, f"ATE {ate:.4f} vs scale {motion_scale:.3f}"
+
+
+def test_reference_convention_completes(sequence):
+    """Reference-parity mode must still build a map end-to-end (its ATE is
+    bounded by the documented convention quirk, not asserted tightly)."""
+    pipe, frame_of_kf, gt_C = run_pipeline(sequence, consistent=False)
+    assert pipe.map.num_keyframes >= 5
+    assert pipe.map.num_points > 100
+    ba_ok = [e for e in pipe.log.events if e["event"] == "ba_complete"]
+    assert ba_ok
+
+
+def test_video_roundtrip(tmp_path, sequence):
+    """mp4 write -> VideoCapture ingestion path (the reference's driver mode,
+    src/main.py:50) must deliver identical frame count and the same pipeline
+    outcome as the in-memory frames."""
+    frames, K, _, _ = sequence
+    path = str(tmp_path / "seq.mp4")
+    write_video(frames, path)
+
+    from bundle_adjustment_tpu.utils.io import video_frames
+
+    decoded = list(video_frames(path))
+    assert len(decoded) == len(frames)
+    assert decoded[0].shape == frames[0].shape
+
+    # frame-range selection mirrors the legacy runs (start/end)
+    part = list(video_frames(path, start=3, end=8))
+    assert len(part) == 5
+
+
+def test_umeyama_recovers_similarity(rng):
+    src = rng.normal(size=(40, 3))
+    R_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    s_true, t_true = 2.3, np.array([0.5, -1.0, 3.0])
+    dst = s_true * src @ R_true.T + t_true
+    s, R, t = umeyama_align(src, dst)
+    assert abs(s - s_true) < 1e-6
+    np.testing.assert_allclose(R, R_true, atol=1e-6)
+    np.testing.assert_allclose(t, t_true, atol=1e-6)
+    assert ate_rmse(src, dst) < 1e-6
