@@ -75,20 +75,33 @@ def make_window_problem(rng):
     return prob, (rvecs, tvecs, X, cam_idx, pnt_idx, uv)
 
 
-def bench_tpu_ba(prob, repeats=8):
+def bench_tpu_ba(prob, repeats=3):
+    """Marginal cost per LM iteration, free of dispatch/sync artifacts.
+
+    Per-call wall time through the device tunnel is dominated by host<->device
+    round trips (ms-scale each), and back-to-back async dispatches overlap and
+    under-count.  The clean protocol: time one call pinned to K iterations
+    (ftol=xtol=0 disables early exit) minus a 1-iteration call, divided by the
+    actual iteration delta."""
     from bundle_adjustment_tpu.ops import ba
 
-    # compile
-    out = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
-    jax.block_until_ready(out)
-    total_iters = 0
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        rv, tv, pt, stats = ba.ba_solve(prob, n_fixed=1, max_iterations=50)
-        total_iters += int(stats.iterations)
-    jax.block_until_ready((rv, tv, pt))
-    dt = time.perf_counter() - t0
-    return total_iters / dt, float(stats.initial_sq), float(stats.final_sq)
+    def run(iters):
+        kwargs = dict(n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+                      lambda_max=1e30)
+        out = ba.ba_solve(prob, **kwargs)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = ba.ba_solve(prob, **kwargs)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, int(out[3].iterations), out[3]
+
+    d1, i1, _ = run(1)
+    dK, iK, stats = run(101)
+    per_iter = (dK - d1) / max(iK - i1, 1)
+    return 1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq)
 
 
 def bench_matcher(repeats=20):

@@ -179,6 +179,11 @@ class PipelineConfig:
     # output / debug artifacts
     output_dir: str = "output_map"
     debug: bool = False
+    # per-keyframe PCD replay series (legacy/pc_generator.py:98-101)
+    export_pcd_series: bool = False
+    # voxel size for downsampling the final exported cloud; 0 = off
+    # (legacy voxel_down_sample 0.1 at legacy/local_BA.py:586)
+    export_voxel: float = 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -63,12 +63,27 @@ class Keyframe:
 
 
 class Map:
-    """The world model.  All arrays are host numpy except descriptor banks."""
+    """The world model.  All arrays are host numpy except descriptor banks.
 
-    def __init__(self):
+    When the native host runtime is built (make -C native), a C++ mirror of
+    the observation table accelerates the per-BA window gathers with a
+    per-keyframe row index (O(window) instead of an O(n_obs) scan); the numpy
+    arrays remain the source of truth (checkpointing, tests)."""
+
+    def __init__(self, use_native: bool = True):
         self.keyframes: dict[int, Keyframe] = {}
         self.next_keyframe_id = 0
         self.next_map_point_id = 0
+
+        self._native = None
+        if use_native:
+            try:
+                from bundle_adjustment_tpu.native import HAVE_NATIVE, NativeObsTable
+
+                if HAVE_NATIVE:
+                    self._native = NativeObsTable()
+            except Exception:
+                self._native = None
 
         cap = 1024
         self._pts = np.zeros((cap, 3), np.float64)
@@ -150,6 +165,8 @@ class Map:
         self._pt_alive[mp_ids] = False
         kill = np.isin(self._obs_mp[: self._n_obs], mp_ids)
         self._obs_alive[: self._n_obs][kill] = False
+        if self._native is not None:
+            self._native.kill_mps(np.asarray(mp_ids, np.int64))
         for kf in self.keyframes.values():
             kf.kp_to_mp[np.isin(kf.kp_to_mp, mp_ids)] = -1
 
@@ -188,6 +205,8 @@ class Map:
         self._obs_alive[sl] = True
         self._n_obs += n
         self.keyframes[kf_id].kp_to_mp[kp_idxs] = mp_ids
+        if self._native is not None:
+            self._native.append(np.full(n, kf_id, np.int64), mp_ids, kp_idxs, uvs)
 
     @property
     def num_observations(self) -> int:
@@ -218,9 +237,13 @@ class Map:
         window_kf_ids = list(window_kf_ids)
         kf_pos = {k: i for i, k in enumerate(window_kf_ids)}
 
-        alive = self._obs_alive[: self._n_obs]
-        in_win = np.isin(self._obs_kf[: self._n_obs], window_kf_ids) & alive
-        obs_rows = np.flatnonzero(in_win)      # original table rows (for pruning)
+        if self._native is not None:
+            obs_rows = np.sort(self._native.gather_window(
+                np.asarray(window_kf_ids, np.int64)))
+        else:
+            alive = self._obs_alive[: self._n_obs]
+            in_win = np.isin(self._obs_kf[: self._n_obs], window_kf_ids) & alive
+            obs_rows = np.flatnonzero(in_win)  # original table rows (for pruning)
         okf = self._obs_kf[obs_rows]
         omp = self._obs_mp[obs_rows]
         okp = self._obs_kp[obs_rows]
@@ -278,6 +301,8 @@ class Map:
         """Remove specific observation-table rows (post-BA outlier pruning);
         clears the kp->mp back-pointers for the removed rows."""
         self._obs_alive[obs_rows] = False
+        if self._native is not None:
+            self._native.kill_rows(np.asarray(obs_rows, np.int64))
         for r in obs_rows:
             kf = self.keyframes[self._obs_kf[r]]
             if kf.kp_to_mp[self._obs_kp[r]] == self._obs_mp[r]:

@@ -51,6 +51,7 @@ class VisualOdometryPipeline:
         self.K = config.camera.K
         self._key = jax.random.PRNGKey(0)
         self._lost_frames = 0
+        self._last_debug_frame = None
         if use_pallas_matcher is None:
             use_pallas_matcher = jax.default_backend() == "tpu"
         self.use_pallas_matcher = use_pallas_matcher
@@ -380,6 +381,38 @@ class VisualOdometryPipeline:
                 self.map.trajectory(self.cfg.consistent_convention), rots,
                 os.path.join(out, "trajectory_3d"),
                 f"kf{new_kf.kf_id:04d}")
+            # reference DEBUG artifacts (src/pipeline.py:59-71, 91-95) + the
+            # legacy depth overlay (legacy/depth_estimation.py:176-192)
+            sel = slots
+            viz.draw_matches(
+                self._last_debug_frame if self._last_debug_frame is not None
+                else frame_bgr,
+                last_kf.xy[sel], frame_bgr, kp_xy[match_idx[sel]],
+                os.path.join(out, "debug_matches",
+                             f"matches_{new_kf.kf_id:04d}.png"))
+            viz.draw_keypoints(
+                frame_bgr, kp_xy[np.asarray(kp.valid)],
+                os.path.join(out, "debug_keyframes",
+                             f"keyframe_{new_kf.kf_id:04d}.png"))
+            tracked_now = np.flatnonzero(new_kf.kp_to_mp >= 0)
+            if len(tracked_now):
+                X = self.map.points()[new_kf.kp_to_mp[tracked_now]]
+                depths = X @ new_kf.R[2] + new_kf.t[2]
+                viz.draw_depth_overlay(
+                    frame_bgr, new_kf.xy[tracked_now], depths,
+                    os.path.join(out, "debug_depth",
+                                 f"depth_{new_kf.kf_id:04d}.png"))
+        self._last_debug_frame = frame_bgr.copy() if self.cfg.debug else None
+
+        if self.cfg.export_pcd_series:
+            # per-keyframe PCD replay series (legacy/pc_generator.py:98-101)
+            from bundle_adjustment_tpu.utils.io import write_pcd
+
+            pts_w, colors = self.map.get_pcd()
+            if len(pts_w):
+                write_pcd(os.path.join(self.cfg.output_dir, "pcd_series",
+                                       f"frame_{new_kf.kf_id:05d}.pcd"),
+                          pts_w, colors)
 
     def _covisibility_reobserve(self, new_kf: Keyframe, exclude_id: int):
         """Register reprojection-verified re-observations of map points seen
@@ -587,6 +620,29 @@ class VisualOdometryPipeline:
 
     # -- map maintenance ---------------------------------------------------
 
+    def _write_debug_videos(self, out: str):
+        """Assemble keyframe/match/depth overlay videos from the per-keyframe
+        debug images (the legacy scripts' cv2.VideoWriter outputs)."""
+        import glob as _glob
+
+        import cv2
+
+        for sub, name in (("debug_keyframes", "keypoint_video.mp4"),
+                          ("debug_matches", "match_video.mp4"),
+                          ("debug_depth", "depth_video.mp4")):
+            paths = sorted(_glob.glob(os.path.join(out, sub, "*.png")))
+            if not paths:
+                continue
+            first = cv2.imread(paths[0])
+            h, w = first.shape[:2]
+            vw = cv2.VideoWriter(os.path.join(out, name),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), 5, (w, h))
+            for p in paths:
+                img = cv2.imread(p)
+                if img is not None and img.shape[:2] == (h, w):
+                    vw.write(img)
+            vw.release()
+
     def _cull_points(self):
         """Drop weakly-observed points once they leave the active window
         (SURVEY §5 long-context: designed fresh; the reference never deletes)."""
@@ -622,7 +678,17 @@ class VisualOdometryPipeline:
         if len(pts):
             from bundle_adjustment_tpu.utils.io import write_pcd
 
+            if self.cfg.export_voxel > 0:
+                from bundle_adjustment_tpu.native import voxel_downsample_native
+
+                pts, colors = voxel_downsample_native(pts, colors,
+                                                      self.cfg.export_voxel)
             write_pcd(os.path.join(out, "final_map_global_ba.pcd"), pts, colors)
+
+        if self.cfg.debug:
+            # overlay videos from the per-keyframe debug frames
+            # (legacy/vo.py:143-146, depth_estimation.py:227)
+            self._write_debug_videos(out)
         viz.plot_and_save_trajectory_2d(self.map.trajectory(self.cfg.consistent_convention),
                                         os.path.join(out, "trajectory_2d"), "final")
         rots = [self.map.keyframes[k].R for k in self.map.sorted_kf_ids()]

@@ -70,14 +70,17 @@ class BAStats(NamedTuple):
 
 
 def _residuals(rvecs, tvecs, points, p: BAProblem):
-    """(O, 2) reprojection residuals, masked."""
-    cam_r = rvecs[p.cam_idx]
-    cam_t = tvecs[p.cam_idx]
-    X = points[p.pnt_idx]
-    uv_hat, _ = jax.vmap(
-        lambda r, t, x: project(p.K, so3_exp(r), t, x[None, :])
-    )(cam_r, cam_t, X)
-    r = uv_hat[:, 0, :] - p.uv
+    """(O, 2) reprojection residuals, masked.  so3_exp runs once per CAMERA
+    (C of them), not per observation — the rotations are then gathered."""
+    Rs = jax.vmap(so3_exp)(rvecs)                          # (C, 3, 3)
+    X = points[p.pnt_idx]                                  # (O, 3)
+    Rg = Rs[p.cam_idx]                                     # (O, 3, 3)
+    Xc = jnp.einsum("oij,oj->oi", Rg, X, precision=_HIGHEST) + tvecs[p.cam_idx]
+    z = Xc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = p.K[0, 0] * Xc[:, 0] / z_safe + p.K[0, 2]
+    v = p.K[1, 1] * Xc[:, 1] / z_safe + p.K[1, 2]
+    r = jnp.stack([u, v], axis=1) - p.uv
     return r * p.obs_mask[:, None]
 
 
@@ -97,18 +100,34 @@ def robust_cost(r, delta):
 
 def _obs_jacobians(rvecs, tvecs, points, p: BAProblem):
     """Per-observation Jacobians: Jc (O, 2, 6) wrt (rvec, tvec), Jp (O, 2, 3)
-    wrt point — forward-mode, vmapped."""
+    wrt point — analytic, with the expensive d(so3_exp)/d(rvec) computed once
+    per CAMERA (forward-mode over C inputs) and chained per observation via
+    dense einsums.  ~3x cheaper per LM iteration than per-obs autodiff."""
+    Rs = jax.vmap(so3_exp)(rvecs)                          # (C, 3, 3)
+    dRdr = jax.vmap(jax.jacfwd(so3_exp))(rvecs)            # (C, 3, 3, 3)
 
-    def one(r, t, x, uv):
-        def f(params):
-            rv, tv, xx = params[:3], params[3:6], params[6:]
-            uv_hat, _ = project(p.K, so3_exp(rv), tv, xx[None, :])
-            return uv_hat[0] - uv
-
-        J = jax.jacfwd(f)(jnp.concatenate([r, t, x]))  # (2, 9)
-        return J[:, :6], J[:, 6:]
-
-    return jax.vmap(one)(rvecs[p.cam_idx], tvecs[p.cam_idx], points[p.pnt_idx], p.uv)
+    X = points[p.pnt_idx]
+    Rg = Rs[p.cam_idx]
+    Xc = jnp.einsum("oij,oj->oi", Rg, X, precision=_HIGHEST) + tvecs[p.cam_idx]
+    z = Xc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / z_safe
+    fx, fy = p.K[0, 0], p.K[1, 1]
+    zeros = jnp.zeros_like(inv_z)
+    # d uv / d Xc  (O, 2, 3) for the pinhole projection
+    duv_dXc = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zeros, -fx * Xc[:, 0] * inv_z * inv_z], axis=1),
+            jnp.stack([zeros, fy * inv_z, -fy * Xc[:, 1] * inv_z * inv_z], axis=1),
+        ],
+        axis=1,
+    )
+    J_t = duv_dXc                                              # (O, 2, 3)
+    J_X = jnp.einsum("oki,oij->okj", duv_dXc, Rg, precision=_HIGHEST)
+    dXc_dr = jnp.einsum("oijr,oj->oir", dRdr[p.cam_idx], X, precision=_HIGHEST)
+    J_r = jnp.einsum("oki,oir->okr", duv_dXc, dXc_dr, precision=_HIGHEST)
+    Jc = jnp.concatenate([J_r, J_t], axis=2)                   # (O, 2, 6)
+    return Jc, J_X
 
 
 def _inv3(M):

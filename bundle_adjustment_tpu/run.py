@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the jax backend (overrides JAX_PLATFORMS; "
                         "useful where a site plugin pins the platform)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() so multi-host "
+                        "meshes (parallel/) span the slice; use the standard "
+                        "JAX coordinator env vars")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume from this checkpoint and save back to it at "
+                        "the end of the run")
     return p
 
 
@@ -69,6 +76,10 @@ def main(argv=None) -> dict:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     cfg = PRESETS[args.preset]()
     overrides = {"output_dir": args.out, "debug": args.debug}
     if args.consistent_convention:
@@ -94,7 +105,15 @@ def main(argv=None) -> dict:
     os.makedirs(args.out, exist_ok=True)
 
     log = EventLog(os.path.join(args.out, "events.jsonl"), echo=True)
-    pipe = VisualOdometryPipeline(cfg, log=log, use_pallas_matcher=args.pallas)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from bundle_adjustment_tpu.utils.checkpoint import load_checkpoint
+
+        pipe = load_checkpoint(args.checkpoint, cfg, log=log,
+                               use_pallas_matcher=args.pallas)
+        print(f"Resumed from {args.checkpoint}: frame {pipe.frame_idx}, "
+              f"{pipe.map.num_keyframes} keyframes")
+    else:
+        pipe = VisualOdometryPipeline(cfg, log=log, use_pallas_matcher=args.pallas)
 
     if args.images:
         frames = image_folder_frames(args.images)
@@ -110,6 +129,10 @@ def main(argv=None) -> dict:
         n_frames += 1
     elapsed = time.perf_counter() - t0
 
+    if args.checkpoint:
+        from bundle_adjustment_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(pipe, args.checkpoint)
     summary = pipe.finalize(args.out)
     summary["frames"] = n_frames
     summary["elapsed_s"] = round(elapsed, 3)

@@ -163,3 +163,31 @@ def test_already_optimal_no_divergence(rng):
     # cost cannot increase (divergence-discard is caller-side; solver itself
     # must never accept a worse state)
     assert float(stats.final_cost) <= float(stats.initial_cost) + 1e-6
+
+
+def test_analytic_jacobians_match_autodiff(rng):
+    """The hand-chained Jacobians must equal per-observation forward-mode
+    autodiff of the projection."""
+    import jax
+
+    from bundle_adjustment_tpu.ops.lie import so3_exp
+    from bundle_adjustment_tpu.ops.projection import project
+
+    prob, _ = make_problem(rng, n_cams=3, n_pts=20)
+    p = prob._replace(obs_mask=prob.obs_mask.astype(jnp.float32))
+    Jc, Jp = ba._obs_jacobians(p.rvecs, p.tvecs, p.points, p)
+
+    def one(r, t, x, uv):
+        def f(params):
+            rv, tv, xx = params[:3], params[3:6], params[6:]
+            uv_hat, _ = project(p.K, so3_exp(rv), tv, xx[None, :])
+            return uv_hat[0] - uv
+
+        return jax.jacfwd(f)(jnp.concatenate([r, t, x]))
+
+    J = jax.vmap(one)(p.rvecs[p.cam_idx], p.tvecs[p.cam_idx],
+                      p.points[p.pnt_idx], p.uv)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(J[:, :, :6]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(J[:, :, 6:]),
+                               rtol=1e-4, atol=1e-3)
