@@ -52,6 +52,7 @@ class VisualOdometryPipeline:
         self._key = jax.random.PRNGKey(0)
         self._lost_frames = 0
         self._last_debug_frame = None
+        self._mesh = None
         if use_pallas_matcher is None:
             use_pallas_matcher = jax.default_backend() == "tpu"
         self.use_pallas_matcher = use_pallas_matcher
@@ -537,9 +538,7 @@ class VisualOdometryPipeline:
         last_opt = self.map.keyframes[window[-1]]
         E_before = (last_opt.R.copy(), last_opt.t.copy())
 
-        t0 = time.perf_counter()
-        rv, tv, pts, stats = ba.ba_solve(
-            problem,
+        solver_kwargs = dict(
             n_fixed=n_fixed,
             max_iterations=self.cfg.ba.max_iterations,
             huber_delta=self.cfg.ba.huber_delta,
@@ -551,6 +550,25 @@ class VisualOdometryPipeline:
             ftol=self.cfg.ba.ftol,
             xtol=self.cfg.ba.xtol,
         )
+        t0 = time.perf_counter()
+        n_pt = int(np.prod(self.cfg.mesh_shape))
+        if n_pt > 1 and len(jax.devices()) >= n_pt:
+            # distributed Schur BA: points sharded over all mesh devices,
+            # camera system psum'd over ICI (parallel/dist_ba.py)
+            from bundle_adjustment_tpu.parallel import dist_ba, mesh as mesh_mod
+
+            if self._mesh is None:
+                self._mesh = mesh_mod.make_mesh(1, n_pt)
+            sharded = dist_ba.shard_problem(problem, n_pt)
+            rv, tv, pts_sh, stats = dist_ba.ba_solve_sharded(
+                sharded, self._mesh, axis="pt", **solver_kwargs
+            )
+            # undo the shard layout: points were re-ordered contiguously
+            P_tot = problem.points.shape[0]
+            P_s = -(-P_tot // n_pt)
+            pts = jnp.asarray(np.asarray(pts_sh)[: n_pt * P_s].reshape(-1, 3)[:P_tot])
+        else:
+            rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
         stats = jax.device_get(stats)
         elapsed = time.perf_counter() - t0
 

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the jax backend (overrides JAX_PLATFORMS; "
                         "useful where a site plugin pins the platform)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="shard bundle adjustment over N devices (distributed "
+                        "Schur reduction; psum over ICI)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() so multi-host "
                         "meshes (parallel/) span the slice; use the standard "
@@ -86,6 +89,8 @@ def main(argv=None) -> dict:
         overrides["consistent_convention"] = True
     if args.features:
         overrides["num_features"] = args.features
+    if args.mesh:
+        overrides["mesh_shape"] = (1, args.mesh)
     if args.fx is not None:
         from bundle_adjustment_tpu.config import CameraModel
 

@@ -121,3 +121,26 @@ def test_match_ring_equals_single(rng, mesh8):
     d_at = np.asarray(hamming.hamming_matrix(d1, d2))
     np.testing.assert_array_equal(
         d_at[np.arange(128), np.asarray(idx1)], np.asarray(best1).astype(int))
+
+
+def test_pipeline_with_sharded_ba(rng):
+    """The full pipeline with mesh_shape set runs its LBA through the
+    distributed Schur solver (pipeline wiring, not just the solver)."""
+    import dataclasses
+
+    from bundle_adjustment_tpu.config import preset_desk
+    from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+    from bundle_adjustment_tpu.utils.event_log import EventLog
+    from bundle_adjustment_tpu.utils.io import image_folder_frames
+
+    cfg = preset_desk()
+    cfg = dataclasses.replace(cfg, num_features=800, pyramid_levels=3,
+                              mesh_shape=(1, 4))
+    pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False),
+                                  use_pallas_matcher=False)
+    for f in image_folder_frames("/root/reference/desk_images"):
+        pipe.process_frame(f)
+    summary = pipe.finalize("/tmp/mesh_test_out")
+    assert summary["num_keyframes"] == 3
+    assert summary["global_ba"] is not None and not summary["global_ba"]["diverged"]
+    assert pipe._mesh is not None and pipe._mesh.shape == {"win": 1, "pt": 4}

@@ -1,0 +1,139 @@
+"""Run the REFERENCE pipeline (its actual code at /root/reference/src) on a
+frame sequence, with open3d stubbed out, and export its trajectory.
+
+This is the oracle for end-to-end parity (SURVEY §4 plan c: "ATE vs the
+reference trajectory on desk/scout").  The reference modules are imported
+verbatim from the read-only mount; only the missing open3d dependency is
+stubbed and the module-level gate constants are optionally overridden
+(their defaults — inlier ratio > 0.7 — reject every desk/scout frame, which
+is also what their own `src/main.py` would do on these inputs).
+
+Usage (also importable; see tests/test_reference_parity.py):
+    python tools/run_reference.py /root/reference/desk_images /tmp/ref_out
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+
+
+def _stub_open3d():
+    if "open3d" in sys.modules:
+        return
+
+    class _PointCloud:
+        def __init__(self):
+            self.points = np.zeros((0, 3))
+            self.colors = np.zeros((0, 3))
+
+        def has_points(self):
+            return len(np.asarray(self.points)) > 0
+
+    o3d = types.ModuleType("open3d")
+    util = types.ModuleType("open3d.utility")
+    util.Vector3dVector = lambda x: np.asarray(x, np.float64)
+    geom = types.ModuleType("open3d.geometry")
+    geom.PointCloud = _PointCloud
+    io = types.ModuleType("open3d.io")
+    io.write_point_cloud = lambda *a, **k: True
+    vis = types.ModuleType("open3d.visualization")
+    vis.draw_geometries = lambda *a, **k: None
+    o3d.utility, o3d.geometry, o3d.io, o3d.visualization = util, geom, io, vis
+    for name, mod in [("open3d", o3d), ("open3d.utility", util),
+                      ("open3d.geometry", geom), ("open3d.io", io),
+                      ("open3d.visualization", vis)]:
+        sys.modules[name] = mod
+
+
+def run_reference(frames, K, workdir, *, ratio_test=0.75, min_matches=8,
+                  inlier_ratio_gate=0.3, inlier_number_gate=8,
+                  keyframe_criteria=None, quiet=True):
+    """Run the reference VisualOdometryPipeline on BGR frames.
+
+    Returns (trajectory (K, 3) of keyframe t-vectors, n_points, kf_frame_map)
+    — the reference's own convention (t as position).
+    """
+    _stub_open3d()
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+
+    cwd = os.getcwd()
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)
+    try:
+        import parameters as ref_params
+
+        for d in ref_params.DEBUG_DIRS.values():
+            os.makedirs(d, exist_ok=True)
+        os.makedirs(ref_params.OUTPUT_DIR, exist_ok=True)
+
+        import contextlib
+        import io as _io
+
+        sink = _io.StringIO() if quiet else sys.stdout
+        with contextlib.redirect_stdout(sink):
+            ref_pipeline_mod = importlib.import_module("pipeline")
+            importlib.reload(ref_pipeline_mod)  # fresh Map per run
+            ref_features = importlib.import_module("features")
+
+            # gate overrides (module-attribute patches; their 0.7/20 defaults
+            # reject every in-tree frame)
+            ref_pipeline_mod.CAMERA_POSE_INLIER_RATIO = inlier_ratio_gate
+            ref_pipeline_mod.CAMERA_POSE_INLIER_NUMBERS = inlier_number_gate
+
+            criteria = keyframe_criteria or {
+                "min_parallax_deg": 1.0,
+                "min_tracked_for_parallax": 20,
+                "min_pixel_displacement": 20.0,
+                "min_rotation": 0.15,
+                "min_feature_ratio": 0.25,
+            }
+            extractor = ref_features.ORBExtractor(n_features=4000)
+            matcher = ref_features.BruteForceMatcher(ratio_test=ratio_test) \
+                if "ratio_test" in ref_features.BruteForceMatcher.__init__.__code__.co_varnames \
+                else ref_features.BruteForceMatcher()
+            pipe = ref_pipeline_mod.VisualOdometryPipeline(
+                camera_matrix=np.asarray(K, np.float64),
+                dist_coeffs=np.zeros(5),
+                feature_extractor=extractor,
+                feature_matcher=matcher,
+                keyframe_criteria=criteria,
+            )
+            pipe.min_matches_to_track = min_matches
+
+            for frame in frames:
+                pipe.process_frame(frame)
+
+            # their global-BA trick (src/main.py:80-89)
+            n_kf = len(pipe.map.keyframes)
+            if n_kf >= 2:
+                pipe.bundle_adjuster.window_size = n_kf
+                pipe.bundle_adjuster.run(pipe.map)
+
+        kf_ids = sorted(pipe.map.keyframes)
+        traj = np.stack([np.asarray(pipe.map.keyframes[k].t).ravel()
+                         for k in kf_ids]) if kf_ids else np.zeros((0, 3))
+        return traj, len(pipe.map.map_points), kf_ids
+    finally:
+        os.chdir(cwd)
+
+
+if __name__ == "__main__":
+    import glob
+
+    import cv2
+
+    folder = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/desk_images"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ref_run"
+    frames = [cv2.imread(p) for p in sorted(glob.glob(os.path.join(folder, "*")))
+              if p.lower().endswith((".png", ".jpg"))]
+    K = np.array([[431.4, 0, 640], [0, 431.4, 360], [0, 0, 1.0]])
+    traj, n_pts, kf_ids = run_reference(frames, K, out, quiet=False)
+    print("reference trajectory:")
+    print(np.round(traj, 4))
+    print(f"{len(kf_ids)} keyframes, {n_pts} map points")
