@@ -116,6 +116,13 @@ class PipelineConfig:
     # recovers the true relative scale directly).
     pnp_scale: bool = True
     pnp_scale_min_tracked: int = 8
+    # Tracked frames skip essential-matrix RANSAC entirely: the PnP pose
+    # against the map defines the relative model, and epipolar inliers come
+    # from one Sampson pass against it.  The 5-point hypothesis machinery
+    # (the priciest per-frame op) then only runs at initialization and on
+    # tracking loss.  Disable to always run full essential RANSAC (the
+    # reference's behavior, src/pipeline.py:73).
+    pnp_first: bool = True
 
     # After LBA, keyframes newer than the window (always at least the newest
     # one, which the reference's window choice excludes —

@@ -129,23 +129,60 @@ class VisualOdometryPipeline:
         uv1 = last_kf.xy                       # slot-aligned query keypoints
         uv2 = kp_xy[match_idx]                 # matched train keypoints
 
-        pose = ransac.estimate_essential_pose(
-            self._next_key(),
-            jnp.asarray(uv1, jnp.float32),
-            jnp.asarray(uv2, jnp.float32),
-            jnp.asarray(match_mask),
-            jnp.asarray(self.K, jnp.float32),
-            threshold_px=self.cfg.ransac_threshold_px,
-            num_hyp=self.cfg.ransac_iters,
-            quality=dist,  # PROSAC-style best-matches-first sampling
-        )
-        num_inliers = int(pose.num_inliers)
+        # -- pose: PnP-first on tracked frames, essential RANSAC otherwise --
+        # The PnP pose chain (see config.pnp_scale/pnp_first) anchors the new
+        # pose to the map; its relative model then classifies epipolar
+        # inliers in one Sampson pass — the 5-point hypothesis machinery only
+        # runs at initialization and on tracking loss.
+        world_pose_override = None
+        R_rel = t_rel = inl = None
+        tracked_n = int((match_mask & (last_kf.kp_to_mp >= 0)).sum())
+        if (self.cfg.pnp_scale and self.cfg.pnp_first
+                and tracked_n >= self.cfg.pnp_scale_min_tracked):
+            pnp = self._pnp_pose(last_kf, kp_xy, match_idx, match_mask)
+            if pnp is not None:
+                R_pnp, t_pnp = pnp
+                R_rel = R_pnp @ last_kf.R.T
+                t_rel = t_pnp - R_rel @ last_kf.t
+                inl = self._epipolar_inliers(R_rel, t_rel, uv1, uv2, match_mask)
+                if self.cfg.consistent_convention:
+                    world_pose_override = (R_pnp, t_pnp)
+
+        if R_rel is None:
+            pose = ransac.estimate_essential_pose(
+                self._next_key(),
+                jnp.asarray(uv1, jnp.float32),
+                jnp.asarray(uv2, jnp.float32),
+                jnp.asarray(match_mask),
+                jnp.asarray(self.K, jnp.float32),
+                threshold_px=self.cfg.ransac_threshold_px,
+                num_hyp=self.cfg.ransac_iters,
+                quality=dist,  # PROSAC-style best-matches-first sampling
+            )
+            if not bool(pose.ok):
+                self.log.pose(self.frame_idx, 0, n_matches, 0.0)
+                self.log.frame_discarded(self.frame_idx, "Could not estimate pose.")
+                return self._tracking_lost(frame_bgr, kp, "pose")
+            R_rel = np.asarray(pose.R, np.float64)
+            t_rel = np.asarray(pose.t, np.float64)
+            inl = np.asarray(pose.inliers)
+            # scale from PnP even when the essential model won the pose
+            if self.cfg.pnp_scale and tracked_n >= self.cfg.pnp_scale_min_tracked:
+                pnp = self._pnp_pose(last_kf, kp_xy, match_idx, match_mask)
+                if pnp is not None:
+                    R_pnp, t_pnp = pnp
+                    R_rel_pnp = R_pnp @ last_kf.R.T
+                    t_rel_pnp = t_pnp - R_rel_pnp @ last_kf.t
+                    if self.cfg.consistent_convention:
+                        world_pose_override = (R_pnp, t_pnp)
+                        R_rel, t_rel = R_rel_pnp, t_rel_pnp
+                    else:
+                        s = float(np.clip(np.linalg.norm(t_rel_pnp), 1e-3, 1e3))
+                        t_rel = t_rel * s
+
+        num_inliers = int(inl.sum())
         inlier_ratio = num_inliers / max(n_matches, 1)
         self.log.pose(self.frame_idx, num_inliers, n_matches, inlier_ratio)
-
-        if not bool(pose.ok):
-            self.log.frame_discarded(self.frame_idx, "Could not estimate pose.")
-            return self._tracking_lost(frame_bgr, kp, "pose")
 
         reliable = (
             inlier_ratio > self.cfg.pose_inlier_ratio
@@ -158,28 +195,6 @@ class VisualOdometryPipeline:
             return self._tracking_lost(frame_bgr, kp, "unreliable")
 
         self._lost_frames = 0
-        R_rel = np.asarray(pose.R, np.float64)
-        t_rel = np.asarray(pose.t, np.float64)
-        inl = np.asarray(pose.inliers)
-
-        # PnP pose chain against tracked map points (see config.pnp_scale):
-        # recoverPose t is unit-norm, and a purely relative chain compounds
-        # both scale and pose error.  When PnP locks onto the map, its pose
-        # IS the new world pose (consistent mode) or at least fixes the
-        # metric scale of t_rel (reference-parity mode).
-        world_pose_override = None
-        if self.cfg.pnp_scale:
-            pnp = self._pnp_pose(last_kf, kp_xy, match_idx, match_mask)
-            if pnp is not None:
-                R_pnp, t_pnp = pnp
-                R_rel_pnp = R_pnp @ last_kf.R.T
-                t_rel_pnp = t_pnp - R_rel_pnp @ last_kf.t
-                if self.cfg.consistent_convention:
-                    world_pose_override = (R_pnp, t_pnp)
-                    R_rel, t_rel = R_rel_pnp, t_rel_pnp
-                else:
-                    s = float(np.clip(np.linalg.norm(t_rel_pnp), 1e-3, 1e3))
-                    t_rel = t_rel * s
 
         # -- keyframe decision (ref: src/keyframe_detector.py:21-87) -------
         tracked_slots = inl & (last_kf.kp_to_mp >= 0)
@@ -221,6 +236,18 @@ class VisualOdometryPipeline:
             "inlier_ratio": inlier_ratio,
             "ba": ba_result,
         }
+
+    def _epipolar_inliers(self, R_rel, t_rel, uv1, uv2, match_mask):
+        """Sampson inlier classification against a known relative model."""
+        from bundle_adjustment_tpu.ops.lie import so3_hat
+        from bundle_adjustment_tpu.ops.projection import epipolar_errors_px
+
+        t = t_rel / max(np.linalg.norm(t_rel), 1e-12)
+        E = np.asarray(so3_hat(jnp.asarray(t, jnp.float32))) @ R_rel.astype(np.float32)
+        errs = np.asarray(epipolar_errors_px(
+            jnp.asarray(E, jnp.float32), jnp.asarray(self.K, jnp.float32),
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)))
+        return (errs < self.cfg.ransac_threshold_px ** 2) & match_mask
 
     def _pnp_pose(self, last_kf: Keyframe, kp_xy, match_idx, match_mask):
         """World extrinsic (R, t) of the current frame from PnP against the

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard bundle adjustment over N devices (distributed "
                         "Schur reduction; psum over ICI)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the frame loop into "
+                        "<out>/jax_trace (view with xprof/tensorboard)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() so multi-host "
                         "meshes (parallel/) span the slice; use the standard "
@@ -126,6 +129,14 @@ def main(argv=None) -> dict:
         frames = video_frames(args.video, start=args.start, end=args.end)
     else:
         raise SystemExit("provide --video or --images")
+    from bundle_adjustment_tpu.utils.io import prefetch
+
+    frames = prefetch(frames)  # overlap decode with device compute
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(os.path.join(args.out, "jax_trace"))
 
     t0 = time.perf_counter()
     n_frames = 0
@@ -138,6 +149,10 @@ def main(argv=None) -> dict:
         from bundle_adjustment_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(pipe, args.checkpoint)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     summary = pipe.finalize(args.out)
     summary["frames"] = n_frames
     summary["elapsed_s"] = round(elapsed, 3)

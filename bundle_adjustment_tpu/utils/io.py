@@ -58,6 +58,36 @@ def image_folder_frames(folder: str, pattern: str = "*") -> Iterator[np.ndarray]
             yield img
 
 
+def prefetch(iterator: Iterator, depth: int = 3) -> Iterator:
+    """Run an iterator (e.g. video decode) in a background thread with a
+    bounded queue, overlapping host I/O with device compute — the single-chip
+    pipeline-parallel analog (SURVEY §2.5 PP row).  cv2 releases the GIL
+    inside decode, so a plain thread suffices; exceptions propagate."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 # -- PCD -------------------------------------------------------------------
 
 def write_pcd(path: str, points: np.ndarray, colors: Optional[np.ndarray] = None,
