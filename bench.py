@@ -17,6 +17,7 @@ iteration (autodiff J + Schur + solve), for scipy one TRF Jacobian build
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# first compiles through a remote-compile tunnel can take minutes; persist
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 # scipy TRF on the identical problem, measured on this machine's CPU
 # (njev per second; see BASELINE.md) — regenerate with --rebaseline
@@ -169,8 +174,6 @@ def measure_scipy_baseline(scene):
 
 
 def load_baseline():
-    import os
-
     if os.path.exists(_BASELINE_FILE):
         with open(_BASELINE_FILE) as f:
             return json.load(f)["iters_per_s"]
