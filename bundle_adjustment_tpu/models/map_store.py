@@ -225,7 +225,8 @@ class Map:
     # -- BA window extraction / writeback ---------------------------------
 
     def gather_window(self, window_kf_ids: list[int], K: np.ndarray,
-                      max_points: int, max_obs: int, dtype=np.float32):
+                      max_points: int, max_obs: int, dtype=np.float32,
+                      pad_to_max: bool = False):
         """Build a padded BAProblem for the given keyframe window.
 
         Mirrors _gather_local_data (ref: src/bundle_adjuster.py:195-218):
@@ -264,8 +265,12 @@ class Map:
 
         cam_idx = np.array([kf_pos[k] for k in okf], np.int32)
         C = len(window_kf_ids)
-        P = _bucket(len(mp_ids))
-        O = _bucket(len(omp))
+        if pad_to_max:
+            # identical static shapes across windows (partitioned solves)
+            P, O = max_points, max_obs
+        else:
+            P = _bucket(len(mp_ids))
+            O = _bucket(len(omp))
 
         rvecs = np.stack([so3_log_np(self.keyframes[k].R) for k in window_kf_ids]).astype(dtype)
         tvecs = np.stack([self.keyframes[k].t for k in window_kf_ids]).astype(dtype)

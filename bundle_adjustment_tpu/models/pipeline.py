@@ -89,6 +89,15 @@ class VisualOdometryPipeline:
     def process_frame(self, frame_bgr: np.ndarray) -> dict:
         """Process one BGR frame.  Returns a result dict with the decision
         chain (used by tests and the metrics layer)."""
+        t_start = time.perf_counter()
+        result = self._process_frame_inner(frame_bgr)
+        # per-frame stage timing (SURVEY §5 tracing: structured, per-stage)
+        self.log.emit("frame_timing", None, frame_idx=self.frame_idx,
+                      status=result.get("status"),
+                      total_ms=round((time.perf_counter() - t_start) * 1e3, 2))
+        return result
+
+    def _process_frame_inner(self, frame_bgr: np.ndarray) -> dict:
         import cv2
 
         self.frame_idx += 1
@@ -532,6 +541,89 @@ class VisualOdometryPipeline:
             self.log.lba_skipped("No adjustable keyframes.")
             return None
         return self._solve_window(window, all_ids, global_ba=global_ba)
+
+    def run_partitioned_global_ba(self, n_windows: int, mesh=None,
+                                  overlap: int = 2) -> Optional[dict]:
+        """Global BA as partitioned keyframe windows solved in parallel over
+        a (win, pt) mesh with boundary-pose consensus — the lehmanL
+        multi-host configuration (BASELINE config 5; SURVEY §2.5 SP/CP row).
+
+        Windows overlap by ``overlap`` keyframes; poses of shared keyframes
+        are reconciled by log-space averaging.  Map points are written back
+        from the window that owns them (first window wins on overlap)."""
+        from bundle_adjustment_tpu.parallel import dist_ba, mesh as mesh_mod
+
+        all_ids = self.map.sorted_kf_ids()
+        if len(all_ids) < n_windows * 2:
+            self.log.lba_skipped("Not enough keyframes for partitioned BA.")
+            return None
+        if mesh is None:
+            n_dev = len(jax.devices())
+            pt = max(n_dev // n_windows, 1)
+            mesh = mesh_mod.make_mesh(n_windows, pt)
+        n_pt = mesh.shape["pt"]
+
+        parts = dist_ba.partition_windows(len(all_ids), n_windows, overlap)
+        window_kf_ids = [np.asarray(all_ids)[w] for w in parts]
+
+        # equal static shapes across windows: use the global capacity buckets
+        problems, mp_lists = [], []
+        for ids in window_kf_ids:
+            uniq = list(dict.fromkeys(int(k) for k in ids))
+            gathered = self.map.gather_window(
+                uniq + [uniq[-1]] * (len(ids) - len(uniq)),  # repeat-pad cams
+                self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs,
+                pad_to_max=True)
+            if gathered is None:
+                self.log.lba_skipped("Empty window in partitioned BA.")
+                return None
+            prob, mp_ids, _ = gathered
+            problems.append(
+                dist_ba.shard_problem(
+                    prob, n_pt,
+                    min_obs_capacity=-(-self.cfg.ba.max_obs // max(n_pt, 1)))
+                if n_pt > 1 else prob)
+            mp_lists.append(mp_ids)
+        # pad problems to identical P/O shapes (bucketing usually matches;
+        # bail to the single full BA if not)
+        shapes = {tuple(p.points.shape) + tuple(p.uv.shape) for p in problems}
+        if len(shapes) != 1:
+            self.log.lba_skipped("Window shapes differ; falling back to full BA.")
+            return self.run_full_ba()
+
+        t0 = time.perf_counter()
+        poses, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
+            problems, window_kf_ids, mesh,
+            n_fixed=max(1, min(self.cfg.ba.n_fixed, len(window_kf_ids[0]) - 1)),
+            max_iterations=self.cfg.ba.max_iterations,
+            huber_delta=self.cfg.ba.huber_delta,
+        )
+        elapsed = time.perf_counter() - t0
+
+        from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+        for kf_id, (rv, tv) in poses.items():
+            kf = self.map.keyframes[int(kf_id)]
+            kf.R = so3_exp_np(np.asarray(rv, np.float64))
+            kf.t = np.asarray(tv, np.float64)
+        # points: first owning window wins
+        written = set()
+        ptss = np.asarray(ptss)
+        for w, mp_ids in enumerate(mp_lists):
+            pts_w = ptss[w].reshape(-1, 3)[: len(mp_ids)]
+            fresh = [i for i, mp in enumerate(mp_ids) if mp not in written]
+            if fresh:
+                self.map._pts[mp_ids[fresh]] = pts_w[fresh]
+                written.update(int(mp_ids[i]) for i in fresh)
+
+        init = float(np.sum(np.asarray(stats.initial_sq)))
+        final = float(np.sum(np.asarray(stats.final_sq)))
+        self.log.lba(all_ids[-1], init, final,
+                     int(np.max(np.asarray(stats.iterations))), final >= init,
+                     elapsed, global_ba=True)
+        return {"diverged": False, "initial": init, "final": final,
+                "windows": n_windows, "mesh": dict(mesh.shape),
+                "elapsed_s": elapsed}
 
     def run_full_ba(self) -> Optional[dict]:
         """Full BA over ALL keyframes, including the newest (the reference's

@@ -38,7 +38,8 @@ from bundle_adjustment_tpu.ops import ba
 from bundle_adjustment_tpu.ops.lie import so3_exp, so3_log
 
 
-def shard_problem(problem: ba.BAProblem, n_shards: int) -> ba.BAProblem:
+def shard_problem(problem: ba.BAProblem, n_shards: int,
+                  min_obs_capacity: int = 0) -> ba.BAProblem:
     """Re-layout a BAProblem so points/observations partition into
     ``n_shards`` equal contiguous blocks (leading-dim concatenated).
 
@@ -61,7 +62,7 @@ def shard_problem(problem: ba.BAProblem, n_shards: int) -> ba.BAProblem:
     live = obs_mask > 0
     for s in range(n_shards):
         O_s = max(O_s, int((live & (obs_shard == s)).sum()))
-    O_s = max(O_s, 1)
+    O_s = max(O_s, min_obs_capacity, 1)
 
     pts_out = np.zeros((n_shards * P_s, 3), points.dtype)
     pmask_out = np.zeros(n_shards * P_s, bool)

@@ -144,3 +144,44 @@ def test_pipeline_with_sharded_ba(rng):
     assert summary["num_keyframes"] == 3
     assert summary["global_ba"] is not None and not summary["global_ba"]["diverged"]
     assert pipe._mesh is not None and pipe._mesh.shape == {"win": 1, "pt": 4}
+
+
+def test_partitioned_global_ba(rng):
+    """config 5 end-to-end: partitioned windows + consensus from the pipeline
+    API over a (win, pt) mesh, improving the map like a global BA would."""
+    import dataclasses
+
+    from bundle_adjustment_tpu.config import CameraModel, PipelineConfig, \
+        KeyframeCriteria, BAConfig
+    from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+    from bundle_adjustment_tpu.utils.event_log import EventLog
+    from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
+
+    frames, K, gt_C, _ = synthetic_sequence(n_frames=14, seed=1)
+    cfg = PipelineConfig(
+        camera=CameraModel(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                           width=640, height=480),
+        num_features=1000, pyramid_levels=3, ratio_test=0.75,
+        min_tracked_features=15, pose_inlier_ratio=0.4, pose_inlier_numbers=15,
+        consistent_convention=True,
+        keyframe=KeyframeCriteria(min_median_displacement_px=12.0),
+        ba=BAConfig(window_size=4, max_points=8192, max_obs=32768),
+    )
+    pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False),
+                                  use_pallas_matcher=False)
+    for f in frames:
+        pipe.process_frame(f)
+    assert pipe.map.num_keyframes >= 8
+
+    from bundle_adjustment_tpu.parallel import mesh as mesh_mod
+
+    result = pipe.run_partitioned_global_ba(
+        n_windows=2, mesh=mesh_mod.make_mesh(2, 4), overlap=2)
+    assert result is not None, "partitioned BA skipped"
+    assert not result["diverged"]
+    assert result["windows"] == 2 and result["mesh"] == {"win": 2, "pt": 4}
+    # map stays sane afterwards
+    traj = pipe.map.trajectory(consistent=True)
+    assert np.isfinite(traj).all()
+    d = np.linalg.norm(np.diff(traj, axis=0), axis=1)
+    assert (d > 1e-9).all()
