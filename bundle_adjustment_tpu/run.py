@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="output_map")
     p.add_argument("--debug", action="store_true",
                    help="write per-keyframe debug artifacts (plots, PCDs)")
+    p.add_argument("--pcd-series", action="store_true",
+                   help="write a per-keyframe PCD replay series "
+                        "(render with tools/render_pcd_folder.py)")
     p.add_argument("--consistent-convention", action="store_true",
                    help="use the geometrically consistent pose chain instead "
                         "of the reference-parity quirk (see config.py)")
@@ -87,7 +90,8 @@ def main(argv=None) -> dict:
 
         jax.distributed.initialize()
     cfg = PRESETS[args.preset]()
-    overrides = {"output_dir": args.out, "debug": args.debug}
+    overrides = {"output_dir": args.out, "debug": args.debug,
+                 "export_pcd_series": args.pcd_series}
     if args.consistent_convention:
         overrides["consistent_convention"] = True
     if args.features:
