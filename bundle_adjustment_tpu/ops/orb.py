@@ -198,6 +198,24 @@ def _detect_level(img_f32, threshold, budget, border=_BORDER):
     valid = jnp.isfinite(top_vals)
     yx = jnp.stack([top_idx // W, top_idx % W], axis=1).astype(jnp.int32)  # (B, 2)
 
+    # subpixel refinement: 1D quadratic fit on the FAST score along each axis
+    # (integer-pixel keypoints are the dominant noise source at strict
+    # epipolar thresholds; cv2 ORB also returns integer corners, so this is
+    # an accuracy improvement, not a parity requirement)
+    def score_at(dy, dx):
+        return score[jnp.clip(yx[:, 0] + dy, 0, H - 1),
+                     jnp.clip(yx[:, 1] + dx, 0, W - 1)]
+
+    s0 = score_at(0, 0)
+
+    def subpixel_offset(s_minus, s_plus):
+        denom = s_minus - 2.0 * s0 + s_plus
+        off = 0.5 * (s_minus - s_plus) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    off_x = subpixel_offset(score_at(0, -1), score_at(0, 1))
+    off_y = subpixel_offset(score_at(-1, 0), score_at(1, 0))
+
     # orientation: intensity centroid over the disc
     patch = _gather_patch_vals(img_f32, yx, jnp.asarray(_DISC_OFF))  # (B, P)
     m10 = patch @ jnp.asarray(_DISC_DX)
@@ -205,7 +223,7 @@ def _detect_level(img_f32, threshold, budget, border=_BORDER):
     angle = jnp.arctan2(m01, m10)
 
     desc = _describe(blurred, yx, angle)
-    xy = jnp.stack([yx[:, 1], yx[:, 0]], axis=1).astype(jnp.float32)  # (x, y)
+    xy = jnp.stack([yx[:, 1] + off_x, yx[:, 0] + off_y], axis=1).astype(jnp.float32)  # (x, y)
     return xy, top_vals, angle, valid, desc
 
 
