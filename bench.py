@@ -90,15 +90,19 @@ def bench_tpu_ba(prob, repeats=3):
     actual iteration delta."""
     from bundle_adjustment_tpu.ops import ba
 
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    grid = ba_grid.from_flat(prob)
+
     def run(iters):
         kwargs = dict(n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
                       lambda_max=1e30)
-        out = ba.ba_solve(prob, **kwargs)
+        out = ba_grid.ba_solve_grid(grid, **kwargs)
         jax.block_until_ready(out)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            out = ba.ba_solve(prob, **kwargs)
+            out = ba_grid.ba_solve_grid(grid, **kwargs)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         return best, int(out[3].iterations), out[3]

@@ -687,7 +687,12 @@ class VisualOdometryPipeline:
             P_s = -(-P_tot // n_pt)
             pts = jnp.asarray(np.asarray(pts_sh)[: n_pt * P_s].reshape(-1, 3)[:P_tot])
         else:
-            rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
+            # single-device fast path: the scatter-free observation-grid
+            # solver (ops/ba_grid.py; ~1.8x the flat path's it/s on TPU)
+            from bundle_adjustment_tpu.ops import ba_grid
+
+            grid = ba_grid.from_flat(problem)
+            rv, tv, pts, stats = ba_grid.ba_solve_grid(grid, **solver_kwargs)
         stats = jax.device_get(stats)
         elapsed = time.perf_counter() - t0
 

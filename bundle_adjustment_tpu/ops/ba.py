@@ -332,5 +332,5 @@ def ba_solve_impl(
 
 ba_solve = jax.jit(
     ba_solve_impl,
-    static_argnames=("n_fixed", "max_iterations", "axis_name"),
+    static_argnames=("n_fixed", "axis_name"),
 )

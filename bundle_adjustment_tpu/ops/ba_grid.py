@@ -1,0 +1,261 @@
+"""Dense observation-grid bundle adjustment: the scatter-free fast path.
+
+The flat observation-table solver (ops/ba.py) spends its per-iteration time
+on op-count overhead, not FLOPs: segment_sums and a scatter dominate the
+~100 small XLA ops per LM iteration.  This solver re-lays the problem out as
+a dense (P, D) grid — each map point owns up to D observation slots (one per
+observing camera; within one window D <= C since a point is seen at most
+once per camera) — so every reduction is a plain masked einsum:
+
+    U   = einsum('pdc,pdki,pdkj->cij', onehot_cam, Jc_w, Jc)
+    V   = einsum('pdki,pdkj->pij',      Jp_w, Jp)          # no segments!
+    B   = einsum('pdc,pdij->pcij',      onehot_cam, Y)      # no scatter!
+
+Everything else (3x3 adjugate elimination, MXU Schur contraction, LM
+accept/reject with the reference's semantics) matches ops/ba.py, and the
+two solvers are asserted equivalent in tests/test_ba_grid.py.
+
+This IS the natural TPU layout for the problem — the "BA block layout" that
+SURVEY §2.3 says the lil_matrix pattern becomes.  The flat path remains for
+the sharded/distributed solver (points partition cleanly there).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu.ops import ba as ba_flat
+from bundle_adjustment_tpu.ops.lie import so3_exp
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class BAProblemGrid(NamedTuple):
+    rvecs: jnp.ndarray      # (C, 3)
+    tvecs: jnp.ndarray      # (C, 3)
+    points: jnp.ndarray     # (P, 3)
+    cam_slot: jnp.ndarray   # (P, D) i32 in [0, C) — observing camera per slot
+    uv: jnp.ndarray         # (P, D, 2)
+    mask: jnp.ndarray       # (P, D) f32 — 0 for empty slots
+    point_mask: jnp.ndarray # (P,) bool
+    K: jnp.ndarray          # (3, 3)
+
+
+def from_flat(problem: ba_flat.BAProblem, max_slots: int | None = None) -> BAProblemGrid:
+    """Host-side conversion from the flat observation table.  Each point's
+    observations fill its D slots; max_slots defaults to the max observation
+    count of any point (excess observations beyond max_slots are dropped —
+    log upstream if that matters)."""
+    pnt = np.asarray(problem.pnt_idx)
+    cam = np.asarray(problem.cam_idx)
+    uv = np.asarray(problem.uv)
+    m = np.asarray(problem.obs_mask) > 0
+    P = problem.points.shape[0]
+
+    counts = np.zeros(P, np.int64)
+    np.add.at(counts, pnt[m], 1)
+    D = int(max(counts.max(initial=1), 1))
+    if max_slots is not None:
+        D = min(D, max_slots)
+
+    cam_slot = np.zeros((P, D), np.int32)
+    uv_g = np.zeros((P, D, 2), np.float32)
+    mask = np.zeros((P, D), np.float32)
+    # vectorized slot assignment: stable-sort live obs by point, slot index =
+    # position within the point's run
+    live = np.flatnonzero(m)
+    order = np.argsort(pnt[live], kind="stable")
+    rows = live[order]
+    p_sorted = pnt[rows]
+    # start offset of each run, repeated per element
+    run_start = np.r_[0, np.flatnonzero(np.diff(p_sorted)) + 1]
+    starts_rep = np.repeat(run_start, np.diff(np.r_[run_start, len(p_sorted)]))
+    slots = np.arange(len(p_sorted)) - starts_rep
+    keep = slots < D
+    cam_slot[p_sorted[keep], slots[keep]] = cam[rows[keep]]
+    uv_g[p_sorted[keep], slots[keep]] = uv[rows[keep]]
+    mask[p_sorted[keep], slots[keep]] = 1.0
+
+    return BAProblemGrid(
+        rvecs=problem.rvecs,
+        tvecs=problem.tvecs,
+        points=problem.points,
+        cam_slot=jnp.asarray(cam_slot),
+        uv=jnp.asarray(uv_g),
+        mask=jnp.asarray(mask),
+        point_mask=problem.point_mask,
+        K=problem.K,
+    )
+
+
+def _grid_terms(rvecs, tvecs, points, p: BAProblemGrid):
+    """Residuals r (P,D,2), Huber weights applied, and Jacobians
+    Jc (P,D,2,6), Jp (P,D,2,3), with so3_exp/dR per CAMERA only."""
+    Rs = jax.vmap(so3_exp)(rvecs)                    # (C, 3, 3)
+    dRdr = jax.vmap(jax.jacfwd(so3_exp))(rvecs)      # (C, 3, 3, 3)
+
+    Rg = Rs[p.cam_slot]                              # (P, D, 3, 3)
+    tg = tvecs[p.cam_slot]                           # (P, D, 3)
+    X = points[:, None, :]                           # (P, 1, 3)
+    Xc = jnp.einsum("pdij,pdj->pdi", Rg, jnp.broadcast_to(X, Rg.shape[:2] + (3,)),
+                    precision=_HIGHEST) + tg
+    z = Xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / z_safe
+    fx, fy = p.K[0, 0], p.K[1, 1]
+    u = fx * Xc[..., 0] * inv_z + p.K[0, 2]
+    v = fy * Xc[..., 1] * inv_z + p.K[1, 2]
+    r = (jnp.stack([u, v], axis=-1) - p.uv) * p.mask[..., None]
+
+    zeros = jnp.zeros_like(inv_z)
+    duv_dXc = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zeros, -fx * Xc[..., 0] * inv_z * inv_z], axis=-1),
+            jnp.stack([zeros, fy * inv_z, -fy * Xc[..., 1] * inv_z * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )                                                 # (P, D, 2, 3)
+    J_t = duv_dXc
+    J_X = jnp.einsum("pdki,pdij->pdkj", duv_dXc, Rg, precision=_HIGHEST)
+    dXc_dr = jnp.einsum("pdijr,pj->pdir", dRdr[p.cam_slot], points,
+                        precision=_HIGHEST)           # (P, D, 3, 3)
+    J_r = jnp.einsum("pdki,pdir->pdkr", duv_dXc, dXc_dr, precision=_HIGHEST)
+    Jc = jnp.concatenate([J_r, J_t], axis=-1)         # (P, D, 2, 6)
+    return r, Jc, J_X
+
+
+def _solve_step(rvecs, tvecs, points, p: BAProblemGrid, lam, delta, n_fixed,
+                onehot):
+    C = rvecs.shape[0]
+    C_adj = max(C - n_fixed, 1)
+
+    r, Jc, Jp = _grid_terms(rvecs, tvecs, points, p)
+    a = jnp.abs(r)
+    w = jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12)) \
+        * p.mask[..., None]
+
+    cam_ok = (p.cam_slot >= n_fixed).astype(r.dtype)[..., None, None]
+    Jc = Jc * cam_ok
+    Jc_w = Jc * w[..., None]
+    Jp_w = Jp * w[..., None]
+
+    # onehot: (P, D, C_adj) — fixed cams map to an all-zero row
+    U = jnp.einsum("pdc,pdki,pdkj->cij", onehot, Jc_w, Jc, precision=_HIGHEST)
+    g_c = jnp.einsum("pdc,pdki,pdk->ci", onehot, Jc_w, r, precision=_HIGHEST)
+    V = jnp.einsum("pdki,pdkj->pij", Jp_w, Jp, precision=_HIGHEST)
+    g_p = jnp.einsum("pdki,pdk->pi", Jp_w, r, precision=_HIGHEST)
+    Y = jnp.einsum("pdki,pdkj->pdij", Jc_w, Jp, precision=_HIGHEST)  # (P,D,6,3)
+    B = jnp.einsum("pdc,pdij->pcij", onehot, Y, precision=_HIGHEST)  # (P,C',6,3)
+
+    eyec = jnp.eye(6, dtype=U.dtype)
+    eyep = jnp.eye(3, dtype=V.dtype)
+    U = U + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
+    V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V))) + 1e-6 * eyep)
+    Vinv = ba_flat._inv3(V)
+    Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
+
+    n = C_adj * 6
+    BV = jnp.einsum("pcik,pkl->pcil", B, Vinv, precision=_HIGHEST)
+    S = -jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST).reshape(n, n)
+    idx = jnp.arange(C_adj)
+    Ublock = jnp.zeros((C_adj, 6, C_adj, 6), U.dtype)
+    Ublock = Ublock.at[idx, :, idx, :].set(U)
+    S = S + Ublock.reshape(n, n)
+
+    z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)
+    Wz = jnp.einsum("pcij,pj->ci", B, z_p, precision=_HIGHEST)
+    b = (-g_c + Wz).reshape(n)
+
+    dc = jnp.linalg.solve(S + 1e-8 * jnp.eye(n, dtype=S.dtype), b)
+    dc_blocks = dc.reshape(C_adj, 6)
+
+    Wt_dc = jnp.einsum("pcij,ci->pj", B, dc_blocks, precision=_HIGHEST)
+    dp = jnp.einsum("pij,pj->pi", Vinv, -g_p - Wt_dc, precision=_HIGHEST)
+
+    d_r = jnp.zeros_like(rvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, :3])
+    d_t = jnp.zeros_like(tvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, 3:])
+    return d_r, d_t, dp
+
+
+def ba_solve_grid_impl(
+    problem: BAProblemGrid,
+    n_fixed: int = 1,
+    max_iterations: int = 50,
+    huber_delta: float = 1.0,
+    lambda_init: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    lambda_min: float = 1e-10,
+    lambda_max: float = 1e8,
+    ftol: float = 1e-5,
+    xtol: float = 1e-5,
+):
+    """LM loop identical in semantics to ops/ba.ba_solve, on the grid layout."""
+    p = problem._replace(mask=problem.mask.astype(problem.uv.dtype))
+    C = p.rvecs.shape[0]
+    C_adj = max(C - n_fixed, 1)
+    # static one-hot over adjustable cameras (all-zero row for fixed cams)
+    onehot = (p.cam_slot[..., None] - n_fixed
+              == jnp.arange(C_adj)[None, None, :]).astype(p.uv.dtype)
+
+    def residuals(rv, tv, pt):
+        r, _, _ = _grid_terms(rv, tv, pt, p)
+        return r
+
+    def cost_at(rv, tv, pt):
+        return ba_flat.robust_cost(residuals(rv, tv, pt), huber_delta)
+
+    def sq_at(rv, tv, pt):
+        r = residuals(rv, tv, pt)
+        return jnp.sum(r * r)
+
+    init_cost = cost_at(p.rvecs, p.tvecs, p.points)
+    init_sq = sq_at(p.rvecs, p.tvecs, p.points)
+
+    def cond(s):
+        return (~s[6]) & (s[5] < max_iterations)
+
+    def body(s):
+        rv, tv, pt, lam, cost, it, done = s
+        d_r, d_t, d_p = _solve_step(rv, tv, pt, p, lam, huber_delta, n_fixed,
+                                    onehot)
+        rv2, tv2, pt2 = rv + d_r, tv + d_t, pt + d_p
+        new_cost = cost_at(rv2, tv2, pt2)
+        accept = new_cost < cost
+        step_norm = jnp.sqrt(jnp.sum(d_r * d_r) + jnp.sum(d_t * d_t)
+                             + jnp.sum(d_p * d_p))
+        param_norm = jnp.sqrt(jnp.sum(rv * rv) + jnp.sum(tv * tv)
+                              + jnp.sum(pt * pt))
+        converged = accept & (
+            ((cost - new_cost) <= ftol * jnp.maximum(cost, 1e-12))
+            | (step_norm <= xtol * (param_norm + xtol))
+        )
+        rv = jnp.where(accept, rv2, rv)
+        tv = jnp.where(accept, tv2, tv)
+        pt = jnp.where(accept, pt2, pt)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * lambda_down, lambda_min),
+                        jnp.minimum(lam * lambda_up, lambda_max))
+        stuck = (~accept) & (lam >= lambda_max)
+        return (rv, tv, pt, lam, cost, it + 1, converged | stuck)
+
+    lam0 = jnp.asarray(lambda_init, p.uv.dtype)
+    rv, tv, pt, lam, cost, it, _ = jax.lax.while_loop(
+        cond, body, (p.rvecs, p.tvecs, p.points, lam0, init_cost, 0, False)
+    )
+    stats = ba_flat.BAStats(
+        initial_cost=init_cost, final_cost=cost,
+        initial_sq=init_sq, final_sq=sq_at(rv, tv, pt),
+        iterations=it, accepted=cost < init_cost,
+    )
+    return rv, tv, pt, stats
+
+
+ba_solve_grid = jax.jit(
+    ba_solve_grid_impl, static_argnames=("n_fixed",),
+)
