@@ -18,7 +18,7 @@ round trip); camera "positions" use the reference's t-as-position convention.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

@@ -30,7 +30,6 @@ constrain the points.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -22,7 +22,6 @@ the sharded/distributed solver (points partition cleanly there).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -32,10 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from bundle_adjustment_tpu.ops import ba
-from bundle_adjustment_tpu.ops.lie import so3_exp, so3_log
+
 
 
 def shard_problem(problem: ba.BAProblem, n_shards: int,
@@ -125,7 +125,7 @@ def ba_solve_sharded(problem: ba.BAProblem, mesh: Mesh, axis: str = "pt",
         ba.ba_solve_impl, n_fixed=n_fixed, axis_name=axis, **solver_kwargs
     )
     fn = shard_map(solve, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)(problem)
 
 
@@ -198,7 +198,7 @@ def solve_windows_consensus(
         return jax.tree.map(lambda x: x[None], (rv, tv, pts, stats))
 
     fn = shard_map(one_window, mesh=mesh, in_specs=(specs,), out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     rvs, tvs, ptss, stats = jax.jit(fn)(stacked)
 
     rvs = np.asarray(rvs)

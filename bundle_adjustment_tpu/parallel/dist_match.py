@@ -10,12 +10,11 @@ ppermute, keeping a running top-2 — the ring-attention analog.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from bundle_adjustment_tpu.ops import hamming
 
@@ -85,6 +84,6 @@ def match_ring(d1, d2, valid2, mesh: Mesh, axis: str = "pt",
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(d1, d2, valid2)

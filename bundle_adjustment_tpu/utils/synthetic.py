@@ -12,7 +12,7 @@ Used by the synthetic-sequence E2E tests and by bench/demo tooling.
 
 from __future__ import annotations
 
-from typing import Iterator
+
 
 import numpy as np
 
