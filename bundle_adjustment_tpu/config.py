@@ -74,6 +74,13 @@ class BAConfig:
     # static capacities for the windowed problem (padded, masked)
     max_points: int = 8192        # map points per window
     max_obs: int = 32768          # observations per window
+    # Camera-system solver switch: windows larger than this many cameras use
+    # matrix-free block-Jacobi PCG on the Schur complement instead of the
+    # dense (6C')^2 solve — global BA over hundreds of keyframes stays
+    # O(cg_iters * observations) in time and O(observations) in memory.
+    pcg_min_cameras: int = 24
+    cg_iters: int = 200           # PCG iteration cap (early exit on cg_tol)
+    cg_tol: float = 1e-6          # relative-residual stop
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +92,12 @@ class PipelineConfig:
     # feature extraction (ref: src/features.py:12 default 3000; driver uses
     # 4000 at src/main.py:60).  num_features is the static keypoint capacity.
     num_features: int = 4000
+    # "orb_tpu" = our JAX/Pallas extractor; "cv2" = inject cv2.ORB keypoints/
+    # descriptors (ref: src/features.py:13-16) through the rest of the
+    # pipeline — the SURVEY §7 escape hatch that isolates detector parity
+    # from geometry parity (detector differences vs pose/BA differences in
+    # ATE).  cv2 mode runs the staged frontend (extraction is host-side).
+    features_source: str = "orb_tpu"
     fast_threshold: int = 20
     pyramid_levels: int = 8
     pyramid_scale: float = 1.2
@@ -124,6 +137,14 @@ class PipelineConfig:
     # reference's behavior, src/pipeline.py:73).
     pnp_first: bool = True
 
+    # Fuse the whole tracked-frame path (extract -> match -> PnP -> Sampson
+    # inliers -> keyframe metrics) into ONE device dispatch
+    # (models/frontend.py); the host reads back a scalar bundle for the
+    # gates.  Requires pnp_first+pnp_scale; False falls back to the staged
+    # per-op path (one dispatch per stage — the round-1 behavior, ~5-8
+    # host<->device round trips per frame).
+    fused_frontend: bool = True
+
     # After LBA, keyframes newer than the window (always at least the newest
     # one, which the reference's window choice excludes —
     # src/bundle_adjuster.py:140) keep stale poses relative to the adjusted
@@ -161,9 +182,13 @@ class PipelineConfig:
     # parameter set).  The reference has no counterpart.
     pose_refine: bool = True
 
-    # relocalization (lehman_indoor config; built fresh per SURVEY §5)
+    # relocalization (lehman_indoor config; built fresh per SURVEY §5).
+    # The bank is searched as ONE stacked descriptor matrix; above
+    # reloc_ann_threshold descriptors the coarse-to-fine approximate matcher
+    # takes over (ops/ann.py — the FLANN/LSH successor).
     reloc_enabled: bool = False
     reloc_bank_size: int = 8      # recent keyframes searched on tracking loss
+    reloc_ann_threshold: int = 16384
 
     # map-point culling (lehman long-sequence config)
     cull_enabled: bool = False

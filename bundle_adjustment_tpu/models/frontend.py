@@ -1,0 +1,225 @@
+"""Fused per-frame frontend: ONE device dispatch for the tracked-frame path.
+
+The reference's hot loop (ref: src/pipeline.py:41-99) is extract -> match ->
+pose -> gates -> keyframe decision.  Round 1 translated each stage into its
+own device call with host syncs between — ~5-8 round trips per frame; through
+a remote device tunnel each trip costs tens of ms, so the pipeline measured
+~0.1 fps while device compute summed to single-digit ms (BASELINE.md).
+
+This module fuses the whole tracked path into one jitted function:
+
+    ORB extract -> Hamming 2-NN + ratio -> PnP RANSAC against the tracked
+    map points -> relative model -> Sampson epipolar inliers -> keyframe
+    METRICS (median parallax / displacement / rotation magnitude)
+
+The host reads back one small scalar bundle (a handful of numbers) to run
+the decision cascade — min-match gate, reliability gate, keyframe criteria
+(ref: src/pipeline.py:55-87, src/keyframe_detector.py:21-87) — and pulls the
+big per-keypoint arrays only when a keyframe is actually inserted.  The
+5-point essential machinery stays out of this path entirely (it runs as a
+separate dispatch on initialization / tracking loss only).
+
+Inputs live in a device-resident ``FrontendState`` mirror of the last
+keyframe (descriptor bank, keypoint grid, per-slot map-point positions,
+pose), refreshed by the pipeline only when a keyframe event or BA writeback
+changes it — never per tracked frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu.ops import hamming, orb, ransac
+from bundle_adjustment_tpu.ops.lie import so3_exp, so3_hat, rotation_angle
+from bundle_adjustment_tpu.ops.projection import epipolar_errors_px
+
+
+class FrontendState(NamedTuple):
+    """Device mirror of the last keyframe (what matching/PnP need)."""
+
+    desc: jnp.ndarray      # (N, 8) u32 descriptor bank
+    xy: jnp.ndarray        # (N, 2) f32 keypoint pixels
+    kp_valid: jnp.ndarray  # (N,) bool
+    pts3d: jnp.ndarray     # (N, 3) f32 map-point position per slot (0 if none)
+    tracked: jnp.ndarray   # (N,) bool — slot has a map point
+    rvec: jnp.ndarray      # (3,) f32 so(3) of the extrinsic R
+    tvec: jnp.ndarray      # (3,) f32
+
+
+class TrackResult(NamedTuple):
+    """Everything the host needs; scalars first (one tiny device_get), big
+    arrays pulled lazily and only on keyframe insertion."""
+
+    # scalars
+    n_matches: jnp.ndarray        # ()
+    tracked_n: jnp.ndarray        # () matches backed by a map point
+    pnp_ok: jnp.ndarray           # () bool — enough points & finite pose
+    pnp_inliers: jnp.ndarray      # ()
+    num_inliers: jnp.ndarray      # () Sampson epipolar inliers
+    rot_mag: jnp.ndarray          # () |so3_log(R_rel)|
+    n_parallax: jnp.ndarray       # () tracked inlier count for the parallax gate
+    med_parallax_deg: jnp.ndarray  # () nan when empty
+    med_disp_px: jnp.ndarray      # () nan when empty
+    n_kp_valid: jnp.ndarray       # () current frame's keypoint count
+    # poses
+    R_pnp: jnp.ndarray            # (3, 3) world extrinsic of this frame
+    t_pnp: jnp.ndarray            # (3,)
+    R_rel: jnp.ndarray            # (3, 3)
+    t_rel: jnp.ndarray            # (3,)
+    # per-keypoint arrays (stay on device until needed)
+    kp_xy: jnp.ndarray            # (M, 2)
+    kp_desc: jnp.ndarray          # (M, 8)
+    kp_valid: jnp.ndarray         # (M,)
+    match_idx: jnp.ndarray        # (N,)
+    match_mask: jnp.ndarray       # (N,)
+    match_dist: jnp.ndarray       # (N,)
+    inliers: jnp.ndarray          # (N,)
+
+
+def _masked_median(values, mask):
+    """Median over the masked subset; nan when the subset is empty."""
+    v = jnp.where(mask, values, jnp.nan)
+    return jnp.nanmedian(v)
+
+
+def track_step(
+    image_u8: jnp.ndarray,
+    state: FrontendState,
+    K: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    num_features: int,
+    levels: int,
+    pyramid_scale: float,
+    fast_threshold: float,
+    height: int,
+    width: int,
+    ratio: float,
+    cross_check: bool,
+    use_pallas: bool,
+    pnp_iters: int,
+    pnp_reproj_px: float,
+    sampson_thr_px: float,
+    consistent: bool,
+) -> TrackResult:
+    """The fused tracked-frame step (jit this with everything after * static)."""
+    kp = orb.extract(
+        image_u8, num_features=num_features, levels=levels,
+        scale=pyramid_scale, threshold=fast_threshold,
+        height=height, width=width,
+    )
+    idx, mask, dist = hamming.match(
+        state.desc, kp.desc, state.kp_valid, kp.valid,
+        ratio=ratio, cross_check=cross_check, use_pallas=use_pallas,
+    )
+    uv1 = state.xy
+    uv2 = kp.xy[idx]
+    tracked = mask & state.tracked
+    tracked_n = jnp.sum(tracked)
+
+    # PnP against the map (slot-aligned: pts3d[i] <-> uv2[i]); mirrors the
+    # pipeline's PnP-first pose chain (see config.pnp_first)
+    res = ransac.estimate_pnp_pose(
+        key, state.pts3d, uv2, tracked, K,
+        reproj_threshold_px=pnp_reproj_px, num_hyp=pnp_iters,
+    )
+    R_last = so3_exp(state.rvec)
+    t_last = state.tvec
+    R_pnp, t_pnp = res.R, res.t
+    R_rel = jnp.matmul(R_pnp, R_last.T)
+    t_rel = t_pnp - R_rel @ t_last
+    finite = jnp.isfinite(R_pnp).all() & jnp.isfinite(t_pnp).all()
+
+    # epipolar inliers of ALL matches against the PnP relative model
+    t_u = t_rel / jnp.linalg.norm(t_rel).clip(1e-12)
+    E = jnp.matmul(so3_hat(t_u), R_rel)
+    errs = epipolar_errors_px(E, K, uv1, uv2)
+    inl = (errs < sampson_thr_px**2) & mask
+    num_inliers = jnp.sum(inl)
+
+    # keyframe metrics (ref: src/keyframe_detector.py:36-86) — medians on
+    # device, threshold cascade on host
+    rot_mag = rotation_angle(R_rel)
+    if consistent:
+        c_last = -(R_last.T @ t_last)
+        c_new = -(R_pnp.T @ t_pnp)
+    else:
+        c_last = t_last
+        c_new = t_last + R_last @ t_rel
+    par_mask = inl & state.tracked
+    r1 = state.pts3d - c_last
+    r2 = state.pts3d - c_new
+    n1 = jnp.linalg.norm(r1, axis=1)
+    n2 = jnp.linalg.norm(r2, axis=1)
+    good = par_mask & (n1 > 1e-9) & (n2 > 1e-9)
+    cosang = jnp.sum(r1 * r2, axis=1) / (n1 * n2).clip(1e-18)
+    ang_deg = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+    med_par = _masked_median(ang_deg, good)
+    med_disp = _masked_median(jnp.linalg.norm(uv2 - uv1, axis=1), inl)
+
+    return TrackResult(
+        n_matches=jnp.sum(mask),
+        tracked_n=tracked_n,
+        pnp_ok=res.ok & finite,
+        pnp_inliers=res.num_inliers,
+        num_inliers=num_inliers,
+        rot_mag=rot_mag,
+        n_parallax=jnp.sum(par_mask),
+        med_parallax_deg=med_par,
+        med_disp_px=med_disp,
+        n_kp_valid=jnp.sum(kp.valid),
+        R_pnp=R_pnp,
+        t_pnp=t_pnp,
+        R_rel=R_rel,
+        t_rel=t_rel,
+        kp_xy=kp.xy,
+        kp_desc=kp.desc,
+        kp_valid=kp.valid,
+        match_idx=idx,
+        match_mask=mask,
+        match_dist=dist,
+        inliers=inl,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def build_track_fn(num_features, levels, pyramid_scale, fast_threshold,
+                   height, width, ratio, cross_check, use_pallas,
+                   pnp_iters, pnp_reproj_px, sampson_thr_px, consistent):
+    """One compiled fused step per static-config signature."""
+    fn = functools.partial(
+        track_step,
+        num_features=num_features, levels=levels,
+        pyramid_scale=pyramid_scale, fast_threshold=fast_threshold,
+        height=height, width=width, ratio=ratio, cross_check=cross_check,
+        use_pallas=use_pallas, pnp_iters=pnp_iters,
+        pnp_reproj_px=pnp_reproj_px, sampson_thr_px=sampson_thr_px,
+        consistent=consistent,
+    )
+    return jax.jit(fn)
+
+
+def make_state(kf, points: np.ndarray, capacity: int) -> FrontendState:
+    """Build the device mirror from a host Keyframe + the map's point array.
+    ``capacity`` = the keypoint capacity (num_features)."""
+    from bundle_adjustment_tpu.ops.lie import so3_log_np
+
+    kp_to_mp = kf.kp_to_mp
+    tracked = kp_to_mp >= 0
+    pts = np.zeros((capacity, 3), np.float32)
+    if tracked.any():
+        pts[tracked] = points[kp_to_mp[tracked]]
+    return FrontendState(
+        desc=kf.desc,
+        xy=jnp.asarray(kf.xy, jnp.float32),
+        kp_valid=jnp.asarray(kf.kp_valid),
+        pts3d=jnp.asarray(pts),
+        tracked=jnp.asarray(tracked),
+        rvec=jnp.asarray(so3_log_np(kf.R), jnp.float32),
+        tvec=jnp.asarray(kf.t, jnp.float32),
+    )

@@ -31,45 +31,37 @@ class KeyframeDecision(NamedTuple):
     metrics: dict
 
 
-def decide_keyframe(
+def decide_from_metrics(
     criteria: KeyframeCriteria,
     *,
-    tracked_points: np.ndarray,      # (T, 3) world positions of tracked map points
-    last_cam_center: np.ndarray,     # (3,) last KF position (t, reference convention)
-    new_cam_center: np.ndarray,      # (3,) candidate position (composed t)
-    uv_last: np.ndarray,             # (M, 2) matched keypoints on last KF (inliers)
-    uv_new: np.ndarray,              # (M, 2) matched keypoints on current frame
-    rotation_rad: float,             # |so3_log(R_rel)|
+    n_tracked: int,               # tracked inlier count (parallax gate)
+    median_parallax_deg: float,   # nan when unavailable
+    median_displacement_px: float,  # nan when no inlier matches
+    rotation_rad: float,
     num_inliers: int,
     num_last_features: int,
 ) -> KeyframeDecision:
+    """The ordered trigger cascade on precomputed metrics — the host half of
+    the fused frontend (medians computed on device in one dispatch,
+    thresholds applied here so the reason taxonomy stays host-side)."""
     metrics: dict = {
-        "tracked": int(len(tracked_points)),
+        "tracked": int(n_tracked),
         "rotation_rad": float(rotation_rad),
         "num_inliers": int(num_inliers),
         "num_last_features": int(num_last_features),
     }
 
     # 1. parallax (ref: keyframe_detector.py:36-69)
-    if len(tracked_points) > criteria.min_tracked_for_parallax:
-        r1 = tracked_points - last_cam_center
-        r2 = tracked_points - new_cam_center
-        n1 = np.linalg.norm(r1, axis=1)
-        n2 = np.linalg.norm(r2, axis=1)
-        good = (n1 > 1e-9) & (n2 > 1e-9)
-        if good.any():
-            cosang = np.sum(r1[good] * r2[good], axis=1) / (n1[good] * n2[good])
-            ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
-            med = float(np.median(ang))
-            metrics["median_parallax_deg"] = med
-            if med > criteria.min_parallax_deg:
-                return KeyframeDecision(True, "Parallax", metrics)
+    if n_tracked > criteria.min_tracked_for_parallax and np.isfinite(
+            median_parallax_deg):
+        metrics["median_parallax_deg"] = float(median_parallax_deg)
+        if median_parallax_deg > criteria.min_parallax_deg:
+            return KeyframeDecision(True, "Parallax", metrics)
 
-    # 2. median pixel displacement (ref: 72-75, helper at 17-19)
-    if len(uv_last):
-        disp = float(np.median(np.linalg.norm(uv_new - uv_last, axis=1)))
-        metrics["median_displacement_px"] = disp
-        if disp > criteria.min_median_displacement_px:
+    # 2. median pixel displacement (ref: 72-75)
+    if np.isfinite(median_displacement_px):
+        metrics["median_displacement_px"] = float(median_displacement_px)
+        if median_displacement_px > criteria.min_median_displacement_px:
             return KeyframeDecision(True, "Pixel Displacement", metrics)
 
     # 3. rotation magnitude (ref: 77-81)
@@ -83,3 +75,42 @@ def decide_keyframe(
         return KeyframeDecision(True, "Feature Ratio", metrics)
 
     return KeyframeDecision(False, "", metrics)
+
+
+def decide_keyframe(
+    criteria: KeyframeCriteria,
+    *,
+    tracked_points: np.ndarray,      # (T, 3) world positions of tracked map points
+    last_cam_center: np.ndarray,     # (3,) last KF position (t, reference convention)
+    new_cam_center: np.ndarray,      # (3,) candidate position (composed t)
+    uv_last: np.ndarray,             # (M, 2) matched keypoints on last KF (inliers)
+    uv_new: np.ndarray,              # (M, 2) matched keypoints on current frame
+    rotation_rad: float,             # |so3_log(R_rel)|
+    num_inliers: int,
+    num_last_features: int,
+) -> KeyframeDecision:
+    med_par = float("nan")
+    if len(tracked_points):
+        r1 = tracked_points - last_cam_center
+        r2 = tracked_points - new_cam_center
+        n1 = np.linalg.norm(r1, axis=1)
+        n2 = np.linalg.norm(r2, axis=1)
+        good = (n1 > 1e-9) & (n2 > 1e-9)
+        if good.any():
+            cosang = np.sum(r1[good] * r2[good], axis=1) / (n1[good] * n2[good])
+            ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            med_par = float(np.median(ang))
+
+    med_disp = float("nan")
+    if len(uv_last):
+        med_disp = float(np.median(np.linalg.norm(uv_new - uv_last, axis=1)))
+
+    return decide_from_metrics(
+        criteria,
+        n_tracked=len(tracked_points),
+        median_parallax_deg=med_par,
+        median_displacement_px=med_disp,
+        rotation_rad=rotation_rad,
+        num_inliers=num_inliers,
+        num_last_features=num_last_features,
+    )

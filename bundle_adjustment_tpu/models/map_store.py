@@ -74,6 +74,9 @@ class Map:
         self.keyframes: dict[int, Keyframe] = {}
         self.next_keyframe_id = 0
         self.next_map_point_id = 0
+        # optional EventLog; capacity truncation in gather_window reports
+        # through it (the "no silent caps" rule — SURVEY §4)
+        self.log = None
 
         self._native = None
         if use_native:
@@ -236,7 +239,14 @@ class Map:
         if the window has nothing to optimize.
         """
         window_kf_ids = list(window_kf_ids)
-        kf_pos = {k: i for i, k in enumerate(window_kf_ids)}
+        # FIRST-occurrence semantics: partitioned windows are repeat-padded
+        # with their last keyframe id, and the consensus reader
+        # (parallel/dist_ba.py) takes the first occurrence's slot — routing
+        # the duplicated keyframe's observations to a later (padding) slot
+        # would silently leave its optimized pose discarded.
+        kf_pos: dict = {}
+        for i, k in enumerate(window_kf_ids):
+            kf_pos.setdefault(k, i)
 
         if self._native is not None:
             obs_rows = np.sort(self._native.gather_window(
@@ -255,6 +265,7 @@ class Map:
         mp_ids, pnt_idx = np.unique(omp, return_inverse=True)
         if len(mp_ids) > max_points or len(omp) > max_obs:
             # keep the most-observed points; drop the rest from this solve
+            n_pts_before, n_obs_before = len(mp_ids), len(omp)
             counts = np.bincount(pnt_idx)
             keep_p = np.argsort(-counts)[:max_points]
             keep_mask = np.isin(pnt_idx, keep_p)
@@ -262,6 +273,18 @@ class Map:
             obs_rows = obs_rows[keep_mask][:max_obs]
             okf, omp, okp, ouv = okf[:max_obs], omp[:max_obs], okp[:max_obs], ouv[:max_obs]
             mp_ids, pnt_idx = np.unique(omp, return_inverse=True)
+            if self.log is not None:
+                # no silent caps: over-capacity windows are visible events
+                self.log.emit(
+                    "capacity_drop",
+                    f"    -> BA window over capacity: dropped "
+                    f"{n_pts_before - len(mp_ids)} points / "
+                    f"{n_obs_before - len(omp)} observations "
+                    f"(max_points={max_points}, max_obs={max_obs})",
+                    dropped_points=int(n_pts_before - len(mp_ids)),
+                    dropped_obs=int(n_obs_before - len(omp)),
+                    max_points=int(max_points), max_obs=int(max_obs),
+                )
 
         cam_idx = np.array([kf_pos[k] for k in okf], np.int32)
         C = len(window_kf_ids)

@@ -47,12 +47,17 @@ class VisualOdometryPipeline:
         self.cfg = config
         self.map = Map()
         self.log = log or EventLog(echo=False)
+        self.map.log = self.log  # capacity_drop events surface in the stream
         self.frame_idx = -1
         self.K = config.camera.K
         self._key = jax.random.PRNGKey(0)
         self._lost_frames = 0
         self._last_debug_frame = None
         self._mesh = None
+        # fused-frontend device mirror of the last keyframe (models/frontend)
+        self._front_state = None
+        self._front_state_kf = -1
+        self._front_dirty = False
         if use_pallas_matcher is None:
             use_pallas_matcher = jax.default_backend() == "tpu"
         self.use_pallas_matcher = use_pallas_matcher
@@ -76,6 +81,8 @@ class VisualOdometryPipeline:
     # -- pipeline ----------------------------------------------------------
 
     def _extract(self, gray: np.ndarray) -> orb.Keypoints:
+        if self.cfg.features_source == "cv2":
+            return self._extract_cv2(gray)
         return orb.extract(
             jnp.asarray(gray),
             num_features=self.cfg.num_features,
@@ -84,6 +91,44 @@ class VisualOdometryPipeline:
             threshold=float(self.cfg.fast_threshold),
             height=gray.shape[0],
             width=gray.shape[1],
+        )
+
+    def _extract_cv2(self, gray: np.ndarray) -> orb.Keypoints:
+        """cv2.ORB feature injection (SURVEY §7 hard-part-1 escape hatch,
+        ref: src/features.py:13-16): the reference's exact detector/descriptor
+        feeding our matcher/pose/BA stack, padded to the static capacity.
+        Lets an ATE difference be attributed to the detector vs the geometry."""
+        import cv2
+
+        if not hasattr(self, "_cv2_orb"):
+            self._cv2_orb = cv2.ORB_create(nfeatures=self.cfg.num_features)
+        kps, des = self._cv2_orb.detectAndCompute(gray, None)
+        N = self.cfg.num_features
+        xy = np.zeros((N, 2), np.float32)
+        d8 = np.zeros((N, 32), np.uint8)
+        valid = np.zeros(N, bool)
+        resp = np.zeros(N, np.float32)
+        ang = np.zeros(N, np.float32)
+        size = np.zeros(N, np.float32)
+        lvl = np.zeros(N, np.int32)
+        n = 0
+        if kps:
+            n = min(len(kps), N)
+            xy[:n] = [k.pt for k in kps[:n]]
+            d8[:n] = des[:n]
+            valid[:n] = True
+            resp[:n] = [k.response for k in kps[:n]]
+            ang[:n] = np.radians([k.angle for k in kps[:n]])
+            size[:n] = [k.size for k in kps[:n]]
+            lvl[:n] = [k.octave for k in kps[:n]]
+        return orb.Keypoints(
+            xy=jnp.asarray(xy),
+            response=jnp.asarray(resp),
+            angle=jnp.asarray(ang),
+            size=jnp.asarray(size),
+            level=jnp.asarray(lvl),
+            desc=hamming.pack_u8_to_u32(jnp.asarray(d8)),
+            valid=jnp.asarray(valid),
         )
 
     def process_frame(self, frame_bgr: np.ndarray) -> dict:
@@ -103,6 +148,16 @@ class VisualOdometryPipeline:
         self.frame_idx += 1
         self.log.frame(self.frame_idx)
         gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+
+        # fused tracked-frame path: ONE device dispatch + one scalar readback
+        # (models/frontend.py); the staged path below remains for the first
+        # frame, fused_frontend=False, cv2 feature injection, and non-PnP
+        # configurations
+        if (self.cfg.fused_frontend and self.cfg.pnp_first
+                and self.cfg.pnp_scale and self.map.num_keyframes > 0
+                and self.cfg.features_source == "orb_tpu"):
+            return self._process_frame_fused(gray, frame_bgr)
+
         kp = self._extract(gray)
 
         if self.map.num_keyframes == 0:
@@ -236,6 +291,164 @@ class VisualOdometryPipeline:
                                   decision.metrics)
         self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel,
                                world_pose=world_pose_override)
+        ba_result = self.run_local_ba()
+        return {
+            "status": "keyframe",
+            "kf_id": kf_id,
+            "reason": decision.reason,
+            "inliers": num_inliers,
+            "inlier_ratio": inlier_ratio,
+            "ba": ba_result,
+        }
+
+    def _process_frame_fused(self, gray: np.ndarray, frame_bgr: np.ndarray) -> dict:
+        """Tracked-frame path as one fused device dispatch (VERDICT round-1
+        item 1): extract -> match -> PnP -> Sampson inliers -> keyframe
+        metrics on device; gates + decision taxonomy on host from one small
+        scalar readback.  Big arrays only cross the host boundary on keyframe
+        insertion / essential-RANSAC fallback (rare)."""
+        import types
+
+        from bundle_adjustment_tpu.models import frontend
+        from bundle_adjustment_tpu.models.keyframe import decide_from_metrics
+
+        last_id = self.map.sorted_kf_ids()[-1]
+        last_kf = self.map.keyframes[last_id]
+        if (self._front_state is None or self._front_state_kf != last_id
+                or self._front_dirty):
+            self._front_state = frontend.make_state(
+                last_kf, self.map.points(), self.cfg.num_features)
+            self._front_state_kf = last_id
+            self._front_dirty = False
+
+        fn = frontend.build_track_fn(
+            self.cfg.num_features, self.cfg.pyramid_levels,
+            self.cfg.pyramid_scale, float(self.cfg.fast_threshold),
+            gray.shape[0], gray.shape[1], self.cfg.ratio_test,
+            self.cfg.cross_check, self.use_pallas_matcher,
+            self.cfg.pnp_iters, self.cfg.pnp_reproj_err_px,
+            self.cfg.ransac_threshold_px, self.cfg.consistent_convention,
+        )
+        res = fn(jnp.asarray(gray), self._front_state,
+                 jnp.asarray(self.K, jnp.float32), self._next_key())
+
+        # THE host sync of the tracked path: a dozen scalars
+        (n_matches, tracked_n, pnp_ok, pnp_inliers, num_inliers, rot_mag,
+         n_parallax, med_par, med_disp, n_kp_valid) = (
+            np.asarray(v).item() for v in jax.device_get((
+                res.n_matches, res.tracked_n, res.pnp_ok, res.pnp_inliers,
+                res.num_inliers, res.rot_mag, res.n_parallax,
+                res.med_parallax_deg, res.med_disp_px, res.n_kp_valid)))
+        n_matches = int(n_matches)
+
+        kp = types.SimpleNamespace(xy=res.kp_xy, desc=res.kp_desc,
+                                   valid=res.kp_valid)
+
+        if n_matches < self.cfg.min_tracked_features:
+            self.log.frame_discarded(self.frame_idx, "Not enough matches to track.")
+            return self._tracking_lost(frame_bgr, kp, "matches")
+
+        world_pose_override = None
+        pnp_good = (bool(pnp_ok)
+                    and int(tracked_n) >= self.cfg.pnp_scale_min_tracked
+                    and int(pnp_inliers) >= self.cfg.pnp_scale_min_tracked)
+        if pnp_good:
+            R_rel = np.asarray(res.R_rel, np.float64)
+            t_rel = np.asarray(res.t_rel, np.float64)
+            inl = np.asarray(res.inliers)
+            num_inliers = int(num_inliers)
+            if self.cfg.consistent_convention:
+                world_pose_override = (np.asarray(res.R_pnp, np.float64),
+                                       np.asarray(res.t_pnp, np.float64))
+            metrics_from_device = True
+        else:
+            # essential-RANSAC fallback (initialization chains, map-thin
+            # frames, PnP failure) — a second dispatch, rare by design
+            match_idx = np.asarray(res.match_idx)
+            match_mask = np.asarray(res.match_mask)
+            kp_xy = np.asarray(res.kp_xy)
+            uv1 = last_kf.xy
+            uv2 = kp_xy[match_idx]
+            pose = ransac.estimate_essential_pose(
+                self._next_key(),
+                jnp.asarray(uv1, jnp.float32),
+                jnp.asarray(uv2, jnp.float32),
+                res.match_mask,
+                jnp.asarray(self.K, jnp.float32),
+                threshold_px=self.cfg.ransac_threshold_px,
+                num_hyp=self.cfg.ransac_iters,
+                quality=res.match_dist,
+            )
+            if not bool(pose.ok):
+                self.log.pose(self.frame_idx, 0, n_matches, 0.0)
+                self.log.frame_discarded(self.frame_idx, "Could not estimate pose.")
+                return self._tracking_lost(frame_bgr, kp, "pose")
+            R_rel = np.asarray(pose.R, np.float64)
+            t_rel = np.asarray(pose.t, np.float64)
+            inl = np.asarray(pose.inliers)
+            num_inliers = int(inl.sum())
+            metrics_from_device = False
+
+        inlier_ratio = num_inliers / max(n_matches, 1)
+        self.log.pose(self.frame_idx, num_inliers, n_matches, inlier_ratio)
+
+        reliable = (
+            inlier_ratio > self.cfg.pose_inlier_ratio
+            and num_inliers > self.cfg.pose_inlier_numbers
+        )
+        if not reliable:
+            self.log.frame_discarded(
+                self.frame_idx, "Low inlier ratio or insufficient inliers."
+            )
+            return self._tracking_lost(frame_bgr, kp, "unreliable")
+
+        self._lost_frames = 0
+
+        if metrics_from_device:
+            decision = decide_from_metrics(
+                self.cfg.keyframe,
+                n_tracked=int(n_parallax),
+                median_parallax_deg=float(med_par),
+                median_displacement_px=float(med_disp),
+                rotation_rad=float(rot_mag),
+                num_inliers=num_inliers,
+                num_last_features=int(last_kf.kp_valid.sum()),
+            )
+        else:
+            # fallback pose: compute the metrics host-side like the staged path
+            match_idx = np.asarray(res.match_idx)
+            kp_xy = np.asarray(res.kp_xy)
+            tracked_slots = inl & (last_kf.kp_to_mp >= 0)
+            tracked_mp = last_kf.kp_to_mp[tracked_slots]
+            if self.cfg.consistent_convention:
+                R_new, t_new = self._compose(last_kf.R, last_kf.t, R_rel, t_rel)
+                last_center = -last_kf.R.T @ last_kf.t
+                new_center = -R_new.T @ t_new
+            else:
+                last_center = last_kf.t
+                new_center = last_kf.t + last_kf.R @ t_rel
+            decision = decide_keyframe(
+                self.cfg.keyframe,
+                tracked_points=self.map.points()[tracked_mp],
+                last_cam_center=last_center,
+                new_cam_center=new_center,
+                uv_last=last_kf.xy[inl],
+                uv_new=kp_xy[match_idx[inl]],
+                rotation_rad=float(rot_mag),
+                num_inliers=num_inliers,
+                num_last_features=int(last_kf.kp_valid.sum()),
+            )
+
+        if not decision.is_keyframe:
+            return {"status": "tracked", "inliers": num_inliers,
+                    "inlier_ratio": inlier_ratio}
+
+        kf_id = self.map.new_keyframe_id()
+        self.log.keyframe_trigger(self.frame_idx, kf_id, decision.reason,
+                                  decision.metrics)
+        self._add_new_keyframe(
+            frame_bgr, kp, last_kf, np.asarray(res.match_idx), inl,
+            R_rel, t_rel, world_pose=world_pose_override)
         ba_result = self.run_local_ba()
         return {
             "status": "keyframe",
@@ -543,14 +756,19 @@ class VisualOdometryPipeline:
         return self._solve_window(window, all_ids, global_ba=global_ba)
 
     def run_partitioned_global_ba(self, n_windows: int, mesh=None,
-                                  overlap: int = 2) -> Optional[dict]:
+                                  overlap: int = 2,
+                                  consensus_rounds: int = 1) -> Optional[dict]:
         """Global BA as partitioned keyframe windows solved in parallel over
-        a (win, pt) mesh with boundary-pose consensus — the lehmanL
+        a (win, pt) mesh with sim(3) pose-graph consensus — the lehmanL
         multi-host configuration (BASELINE config 5; SURVEY §2.5 SP/CP row).
 
-        Windows overlap by ``overlap`` keyframes; poses of shared keyframes
-        are reconciled by log-space averaging.  Map points are written back
-        from the window that owns them (first window wins on overlap)."""
+        Windows overlap by ``overlap`` keyframes.  Each window's monocular
+        solve has a free sim(3) gauge (scale included); consensus chain-
+        aligns the windows by sim(3) fit on overlap keyframes, fuses shared
+        poses by chordal rotation averaging, and transforms each window's
+        points by its alignment before writeback (first owning window wins).
+        ``consensus_rounds`` > 1 iterates solve -> reconcile -> re-solve with
+        the reconciled poses as the next round's initialization."""
         from bundle_adjustment_tpu.parallel import dist_ba, mesh as mesh_mod
 
         all_ids = self.map.sorted_kf_ids()
@@ -566,64 +784,72 @@ class VisualOdometryPipeline:
         parts = dist_ba.partition_windows(len(all_ids), n_windows, overlap)
         window_kf_ids = [np.asarray(all_ids)[w] for w in parts]
 
-        # equal static shapes across windows: use the global capacity buckets
-        problems, mp_lists = [], []
-        for ids in window_kf_ids:
-            uniq = list(dict.fromkeys(int(k) for k in ids))
-            gathered = self.map.gather_window(
-                uniq + [uniq[-1]] * (len(ids) - len(uniq)),  # repeat-pad cams
-                self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs,
-                pad_to_max=True)
-            if gathered is None:
-                self.log.lba_skipped("Empty window in partitioned BA.")
-                return None
-            prob, mp_ids, _ = gathered
-            problems.append(
-                dist_ba.shard_problem(
-                    prob, n_pt,
-                    min_obs_capacity=-(-self.cfg.ba.max_obs // max(n_pt, 1)))
-                if n_pt > 1 else prob)
-            mp_lists.append(mp_ids)
-        # pad problems to identical P/O shapes (bucketing usually matches;
-        # bail to the single full BA if not)
-        shapes = {tuple(p.points.shape) + tuple(p.uv.shape) for p in problems}
-        if len(shapes) != 1:
-            self.log.lba_skipped("Window shapes differ; falling back to full BA.")
-            return self.run_full_ba()
-
-        t0 = time.perf_counter()
-        poses, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
-            problems, window_kf_ids, mesh,
-            n_fixed=max(1, min(self.cfg.ba.n_fixed, len(window_kf_ids[0]) - 1)),
-            max_iterations=self.cfg.ba.max_iterations,
-            huber_delta=self.cfg.ba.huber_delta,
-        )
-        elapsed = time.perf_counter() - t0
-
         from bundle_adjustment_tpu.ops.lie import so3_exp_np
 
-        for kf_id, (rv, tv) in poses.items():
-            kf = self.map.keyframes[int(kf_id)]
-            kf.R = so3_exp_np(np.asarray(rv, np.float64))
-            kf.t = np.asarray(tv, np.float64)
-        # points: first owning window wins
-        written = set()
-        ptss = np.asarray(ptss)
-        for w, mp_ids in enumerate(mp_lists):
-            pts_w = ptss[w].reshape(-1, 3)[: len(mp_ids)]
-            fresh = [i for i, mp in enumerate(mp_ids) if mp not in written]
-            if fresh:
-                self.map._pts[mp_ids[fresh]] = pts_w[fresh]
-                written.update(int(mp_ids[i]) for i in fresh)
+        t0 = time.perf_counter()
+        result = None
+        for _round in range(max(1, consensus_rounds)):
+            # equal static shapes across windows: global capacity buckets
+            problems, mp_lists = [], []
+            for ids in window_kf_ids:
+                uniq = list(dict.fromkeys(int(k) for k in ids))
+                gathered = self.map.gather_window(
+                    uniq + [uniq[-1]] * (len(ids) - len(uniq)),  # repeat-pad
+                    self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs,
+                    pad_to_max=True)
+                if gathered is None:
+                    self.log.lba_skipped("Empty window in partitioned BA.")
+                    return None
+                prob, mp_ids, _ = gathered
+                problems.append(
+                    dist_ba.shard_problem(
+                        prob, n_pt,
+                        min_obs_capacity=-(-self.cfg.ba.max_obs // max(n_pt, 1)))
+                    if n_pt > 1 else prob)
+                mp_lists.append(mp_ids)
+            shapes = {tuple(p.points.shape) + tuple(p.uv.shape) for p in problems}
+            if len(shapes) != 1:
+                self.log.lba_skipped("Window shapes differ; falling back to full BA.")
+                return self.run_full_ba()
 
-        init = float(np.sum(np.asarray(stats.initial_sq)))
-        final = float(np.sum(np.asarray(stats.final_sq)))
-        self.log.lba(all_ids[-1], init, final,
-                     int(np.max(np.asarray(stats.iterations))), final >= init,
-                     elapsed, global_ba=True)
-        return {"diverged": False, "initial": init, "final": final,
-                "windows": n_windows, "mesh": dict(mesh.shape),
-                "elapsed_s": elapsed}
+            poses, sim3s, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
+                problems, window_kf_ids, mesh,
+                n_fixed=max(1, min(self.cfg.ba.n_fixed, len(window_kf_ids[0]) - 1)),
+                max_iterations=self.cfg.ba.max_iterations,
+                huber_delta=self.cfg.ba.huber_delta,
+            )
+
+            for kf_id, (rv, tv) in poses.items():
+                kf = self.map.keyframes[int(kf_id)]
+                kf.R = so3_exp_np(np.asarray(rv, np.float64))
+                kf.t = np.asarray(tv, np.float64)
+            # points: sim(3)-aligned into the global frame; first owning
+            # window wins
+            written = set()
+            ptss = np.asarray(ptss)
+            for w, mp_ids in enumerate(mp_lists):
+                s, Rg, tg = sim3s[w]
+                pts_w = ptss[w].reshape(-1, 3)[: len(mp_ids)]
+                pts_w = (s * pts_w) @ np.asarray(Rg).T + np.asarray(tg)
+                fresh = [i for i, mp in enumerate(mp_ids) if mp not in written]
+                if fresh:
+                    self.map._pts[mp_ids[fresh]] = pts_w[fresh]
+                    written.update(int(mp_ids[i]) for i in fresh)
+
+            self._front_dirty = True
+            init = float(np.sum(np.asarray(stats.initial_sq)))
+            final = float(np.sum(np.asarray(stats.final_sq)))
+            result = {"diverged": False, "initial": init, "final": final,
+                      "windows": n_windows, "mesh": dict(mesh.shape),
+                      "rounds": _round + 1}
+
+        elapsed = time.perf_counter() - t0
+        result["elapsed_s"] = elapsed
+        self.log.lba(all_ids[-1], result["initial"], result["final"],
+                     int(np.max(np.asarray(stats.iterations))),
+                     result["final"] >= result["initial"], elapsed,
+                     global_ba=True)
+        return result
 
     def run_full_ba(self) -> Optional[dict]:
         """Full BA over ALL keyframes, including the newest (the reference's
@@ -670,6 +896,12 @@ class VisualOdometryPipeline:
             xtol=self.cfg.ba.xtol,
         )
         t0 = time.perf_counter()
+        # large windows (global BA over a long chain): matrix-free PCG camera
+        # solve on the flat path — no (P, C', 6, 3) coupling tensor, no dense
+        # (6C')^2 system (see ops/ba._solve_normal_equations)
+        if len(window) > self.cfg.ba.pcg_min_cameras:
+            solver_kwargs.update(cg_iters=self.cfg.ba.cg_iters,
+                                 cg_tol=self.cfg.ba.cg_tol)
         n_pt = int(np.prod(self.cfg.mesh_shape))
         if n_pt > 1 and len(jax.devices()) >= n_pt:
             # distributed Schur BA: points sharded over all mesh devices,
@@ -686,12 +918,19 @@ class VisualOdometryPipeline:
             P_tot = problem.points.shape[0]
             P_s = -(-P_tot // n_pt)
             pts = jnp.asarray(np.asarray(pts_sh)[: n_pt * P_s].reshape(-1, 3)[:P_tot])
+        elif "cg_iters" in solver_kwargs:
+            # large-window PCG path (flat observation table; the grid layout's
+            # per-point slot axis would be mostly padding at this scale)
+            rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
         else:
             # single-device fast path: the scatter-free observation-grid
             # solver (ops/ba_grid.py; ~1.8x the flat path's it/s on TPU)
             from bundle_adjustment_tpu.ops import ba_grid
 
-            grid = ba_grid.from_flat(problem)
+            grid = ba_grid.from_flat(problem, on_drop=lambda n: self.log.emit(
+                "capacity_drop",
+                f"    -> Grid layout dropped {n} observations (max_slots cap)",
+                dropped_obs=int(n)))
             rv, tv, pts, stats = ba_grid.ba_solve_grid(grid, **solver_kwargs)
         stats = jax.device_get(stats)
         elapsed = time.perf_counter() - t0
@@ -706,6 +945,7 @@ class VisualOdometryPipeline:
                     "final": float(stats.final_sq), "elapsed_s": elapsed}
 
         self.map.apply_ba_result(window, mp_ids, rv, tv, pts, n_fixed=n_fixed)
+        self._front_dirty = True  # poses/points moved under the device mirror
 
         if self.cfg.prune_obs_reproj_px > 0:
             # post-BA outlier pruning on the solved window's residuals

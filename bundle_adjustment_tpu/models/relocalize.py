@@ -5,10 +5,15 @@ The lehman_indoor configuration requires "relocalization on match failure"
 behaviors are the dead exhaustive matcher (ref: src/pipeline.py:112-223,
 disabled at 98) and the never-called estimate_pose_pnp
 (ref: src/pose_estimator.py:46-92).  Per SURVEY §5 this is built fresh from
-those templates: on tracking loss, match the current frame's descriptors
-against the last ``reloc_bank_size`` keyframes' device-resident banks, take
-the keyframe with the most map-point-backed matches, and re-enter the pose
-chain with PnP RANSAC against its 3D points.
+those templates.
+
+Search strategy: the last ``reloc_bank_size`` keyframes' device-resident
+descriptor banks are STACKED and searched in ONE dispatch (map-point-backed
+slots only).  Small banks use the exact MXU 2-NN; banks above
+``reloc_ann_threshold`` descriptors switch to the coarse-to-fine approximate
+matcher (ops/ann.py) — the TPU-native successor of the reference's FLANN/LSH
+option (ref: legacy/local_BA_sparsity_images.py:346-375).  The keyframe with
+the most ratio-tested matches anchors a PnP RANSAC re-entry.
 """
 
 from __future__ import annotations
@@ -30,31 +35,57 @@ def try_relocalize(pipe, frame_bgr, kp) -> Optional[dict]:
     if not bank_ids:
         return None
 
-    best = None  # (num_matches, kf_id, X, uv, slots_mask)
-    kp_xy = np.asarray(kp.xy, np.float64)
-    for kf_id in reversed(bank_ids):
-        kf: Keyframe = pipe.map.keyframes[kf_id]
-        idx, mask, _ = hamming.match(
-            kf.desc, kp.desc,
-            jnp.asarray(kf.kp_valid), kp.valid,
-            ratio=cfg.ratio_test,
-        )
-        idx = np.asarray(idx)
-        mask = np.asarray(mask)
-        tracked = mask & (kf.kp_to_mp >= 0)
-        n = int(tracked.sum())
-        if best is None or n > best[0]:
-            slots = np.flatnonzero(tracked)
-            X = pipe.map.points()[kf.kp_to_mp[slots]]
-            uv = kp_xy[idx[slots]]
-            best = (n, kf_id, X, uv, idx, slots)
-        if n >= 100:  # plenty — stop searching
-            break
-
-    n, kf_id, X, uv, idx, slots = best
-    if n < 6:
+    kfs = [pipe.map.keyframes[k] for k in bank_ids]
+    bank_desc = jnp.concatenate([kf.desc for kf in kfs])
+    bank_valid = np.concatenate([kf.kp_valid & (kf.kp_to_mp >= 0)
+                                 for kf in kfs])
+    bank_mp = np.concatenate([kf.kp_to_mp for kf in kfs])
+    bank_kf = np.concatenate([np.full(kf.desc.shape[0], k, np.int64)
+                              for k, kf in zip(bank_ids, kfs)])
+    if not bank_valid.any():
         pipe.log.reloc(pipe.frame_idx, False)
         return None
+
+    if len(bank_valid) > cfg.reloc_ann_threshold:
+        from bundle_adjustment_tpu.ops import ann
+
+        idx, mask, _ = ann.match_bank(
+            kp.desc, bank_desc, jnp.asarray(bank_valid),
+            ratio=cfg.ratio_test)
+    else:
+        idx, mask, _ = hamming.match(
+            kp.desc, bank_desc, jnp.asarray(np.asarray(kp.valid)),
+            jnp.asarray(bank_valid), ratio=cfg.ratio_test)
+    idx = np.asarray(idx)
+    mask = np.asarray(mask) & np.asarray(kp.valid)
+
+    cur_slots = np.flatnonzero(mask)            # current-frame keypoints
+    if len(cur_slots) == 0:
+        pipe.log.reloc(pipe.frame_idx, False)
+        return None
+    hit = idx[cur_slots]                        # stacked-bank slots
+    hit_kf = bank_kf[hit]
+
+    # anchor = bank keyframe with the most matches
+    kf_vals, kf_counts = np.unique(hit_kf, return_counts=True)
+    kf_id = int(kf_vals[np.argmax(kf_counts)])
+    sel = hit_kf == kf_id
+    cur_kp = cur_slots[sel]
+    mps = bank_mp[hit[sel]]
+    # one observation per map point AND per current keypoint (cur_kp is
+    # unique by construction — query-indexed; dedup mps keeping first)
+    _, first = np.unique(mps, return_index=True)
+    first = np.sort(first)
+    cur_kp = cur_kp[first]
+    mps = mps[first]
+    n = len(cur_kp)
+    if n < 6:
+        pipe.log.reloc(pipe.frame_idx, False, kf_id, 0)
+        return None
+
+    kp_xy = np.asarray(kp.xy, np.float64)
+    X = pipe.map.points()[mps]
+    uv = kp_xy[cur_kp]
 
     # pad to a static-ish capacity for the jitted PnP
     cap = max(64, 1 << int(np.ceil(np.log2(n))))
@@ -97,12 +128,11 @@ def try_relocalize(pipe, frame_bgr, kp) -> Optional[dict]:
     pipe.log.keyframe_trigger(pipe.frame_idx, new_kf.kf_id, "Relocalization",
                               {"anchor_kf": kf_id, "pnp_inliers": num_inl})
 
-    # register re-observations for the PnP inliers
+    # register re-observations for the PnP inliers (cur_kp/mps are already
+    # one-per-keypoint and one-per-map-point)
     inl = np.asarray(res.inliers)[:n]
-    anchor = pipe.map.keyframes[kf_id]
-    mp_ids = anchor.kp_to_mp[slots[inl]]
-    kp_idxs = idx[slots[inl]]
-    pipe.map.add_observations(new_kf.kf_id, mp_ids, kp_idxs, kp_xy[kp_idxs])
+    pipe.map.add_observations(new_kf.kf_id, mps[inl], cur_kp[inl],
+                              kp_xy[cur_kp[inl]])
 
     ba_result = pipe.run_local_ba()
     return {"status": "relocalized", "kf_id": new_kf.kf_id,

@@ -14,10 +14,32 @@ import os
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native", "libba_host.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libba_host.so")
+
+
+def _build_on_demand():
+    """The shared object is a build artifact and never committed; compile it
+    from the committed source the first time it's needed (set
+    BA_TPU_NO_NATIVE=1 to skip and use the numpy fallbacks)."""
+    if os.environ.get("BA_TPU_NO_NATIVE"):
+        return
+    src = os.path.join(_NATIVE_DIR, "ba_host.cpp")
+    if not os.path.exists(src):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
+
 
 _lib = None
 try:
+    if not os.path.exists(_LIB_PATH):
+        _build_on_demand()
     if os.path.exists(_LIB_PATH):
         _lib = ctypes.CDLL(_LIB_PATH)
 except OSError:

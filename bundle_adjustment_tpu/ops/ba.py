@@ -160,15 +160,60 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _pcg_blocked(matvec, b, Minv, iters, tol):
+    """Preconditioned conjugate gradient on the reduced camera system,
+    matrix-free.  ``b``/state are (C_adj, 6) block vectors; ``Minv`` is the
+    (C_adj, 6, 6) block-Jacobi preconditioner.  Runs to ``iters`` or a
+    relative-residual ``tol``, whichever first (while_loop — no wasted
+    iterations once converged)."""
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = jnp.einsum("cij,cj->ci", Minv, r0, precision=_HIGHEST)
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(s):
+        _, r, _, _, it, done = s
+        return (~done) & (it < iters)
+
+    def body(s):
+        x, r, p, rz, it, done = s
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = jnp.einsum("cij,cj->ci", Minv, r, precision=_HIGHEST)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        done = jnp.sqrt(jnp.sum(r * r)) <= tol * jnp.maximum(bnorm, 1e-30)
+        return (x, r, p, rz_new, it + 1, done)
+
+    x, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, 0, bnorm <= 0.0))
+    return x
+
+
 def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fixed,
-                            axis_name=None):
+                            axis_name=None, cg_iters: int = 0, cg_tol: float = 1e-6):
     """One damped Schur step: returns (d_rvecs, d_tvecs, d_points).
 
     With ``axis_name`` set (inside shard_map), the problem's points and
     observations are shard-local while cameras are replicated: the per-point
     V elimination stays local and only the small reduced camera system
     (S, g_c, Wz — a few KB) crosses ICI via psum — the distributed Schur
-    reduction of SURVEY §2.5/BASELINE's north star."""
+    reduction of SURVEY §2.5/BASELINE's north star.
+
+    ``cg_iters`` = 0 solves the reduced camera system densely (builds the
+    (P, C_adj, 6, 3) coupling tensor and a (6C')² matrix — right for windows,
+    O((6C')³) for global BA).  ``cg_iters`` > 0 switches to MATRIX-FREE
+    block-Jacobi PCG: S·x is evaluated as U x − W V⁻¹ Wᵀ x through two
+    gathers and two segment_sums per iteration, so neither S nor the coupling
+    tensor is ever materialized — memory O(O·18) and time O(cg_iters·O)
+    regardless of camera count.  This is the north-star "reduced camera
+    system solved via PCG" (replacing scipy TRF at
+    /root/reference/src/bundle_adjuster.py:170-174)."""
     C = rvecs.shape[0]
     P = points.shape[0]
     C_adj = C - n_fixed
@@ -206,30 +251,58 @@ def _solve_normal_equations(rvecs, tvecs, points, p: BAProblem, lam, delta, n_fi
     # padded/unconstrained points: keep their delta at 0
     Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
 
-    # scatter coupling blocks into B[P, C_adj, 6, 3] and contract for the
-    # Schur complement S = blockdiag(U) - W V^-1 W^T on the MXU
     nC = max(C_adj, 1)
     n = nC * 6
-    B = jnp.zeros((P, nC, 6, 3), U.dtype)
-    B = B.at[p.pnt_idx, cam_adj_c].add(Y_o * cam_ok.astype(U.dtype))
-    BV = jnp.einsum("pcik,pkl->pcil", B, Vinv, precision=_HIGHEST)
-    S_full = -_psum(
-        jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST), axis_name
-    ).reshape(n, n)
-    idx = jnp.arange(nC)
-    Ublock = jnp.zeros((nC, 6, nC, 6), U.dtype)
-    Ublock = Ublock.at[idx, :, idx, :].set(U)
-    S_full = S_full + Ublock.reshape(n, n)
 
-    # rhs: b = -g_c + W V^-1 g_p
+    # rhs: b = -g_c + W V^-1 g_p (shared by both camera-system solvers)
     z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)    # (P, 3)
     Wz_o = jnp.einsum("oij,oj->oi", Y_o, z_p[p.pnt_idx], precision=_HIGHEST)
-    Wz = _psum(jax.ops.segment_sum(Wz_o, cam_adj_c, num_segments=max(C_adj, 1)),
+    Wz = _psum(jax.ops.segment_sum(Wz_o, cam_adj_c, num_segments=nC),
                axis_name)
-    b = (-g_c + Wz).reshape(n)
+    b_blocks = -g_c + Wz                                             # (nC, 6)
 
-    dc = jnp.linalg.solve(S_full + 1e-8 * jnp.eye(n, dtype=S_full.dtype), b)
-    dc_blocks = dc.reshape(max(C_adj, 1), 6)
+    if cg_iters > 0:
+        # matrix-free PCG on S = U - W V^-1 W^T: each matvec is two gathers
+        # + two segment_sums; neither S nor the (P, C', 6, 3) coupling tensor
+        # exists.  Y_o rows of gauge-fixed cameras are already zero (Jc was
+        # masked), so fixed cams contribute nothing.
+        def matvec(x):
+            y_o = jnp.einsum("oij,oi->oj", Y_o, x[cam_adj_c], precision=_HIGHEST)
+            q = jax.ops.segment_sum(y_o, p.pnt_idx, num_segments=P)
+            z = jnp.einsum("pij,pj->pi", Vinv, q, precision=_HIGHEST)
+            w_o = jnp.einsum("oij,oj->oi", Y_o, z[p.pnt_idx], precision=_HIGHEST)
+            WVWx = _psum(jax.ops.segment_sum(w_o, cam_adj_c, num_segments=nC),
+                         axis_name)
+            Ux = jnp.einsum("cij,cj->ci", U, x, precision=_HIGHEST)
+            return Ux - WVWx
+
+        # block-Jacobi preconditioner = exact 6x6 diagonal blocks of S
+        # (exact because a (camera, point) pair has at most one observation:
+        # B[p,c] V^-1 B[p,c]^T == Y_o V^-1 Y_o^T per observation)
+        D_o = jnp.einsum("oij,ojk,olk->oil", Y_o, Vinv[p.pnt_idx], Y_o,
+                         precision=_HIGHEST)
+        D = _psum(jax.ops.segment_sum(D_o, cam_adj_c, num_segments=nC),
+                  axis_name)
+        Pc = U - D + 1e-8 * jnp.eye(6, dtype=U.dtype)
+        Minv = jnp.linalg.inv(Pc)                                    # (nC, 6, 6)
+        dc_blocks = _pcg_blocked(matvec, b_blocks, Minv, cg_iters, cg_tol)
+    else:
+        # dense: scatter coupling blocks into B[P, C_adj, 6, 3] and contract
+        # for the Schur complement S = blockdiag(U) - W V^-1 W^T on the MXU
+        B = jnp.zeros((P, nC, 6, 3), U.dtype)
+        B = B.at[p.pnt_idx, cam_adj_c].add(Y_o * cam_ok.astype(U.dtype))
+        BV = jnp.einsum("pcik,pkl->pcil", B, Vinv, precision=_HIGHEST)
+        S_full = -_psum(
+            jnp.einsum("pcil,pdjl->cidj", BV, B, precision=_HIGHEST), axis_name
+        ).reshape(n, n)
+        idx = jnp.arange(nC)
+        Ublock = jnp.zeros((nC, 6, nC, 6), U.dtype)
+        Ublock = Ublock.at[idx, :, idx, :].set(U)
+        S_full = S_full + Ublock.reshape(n, n)
+
+        dc = jnp.linalg.solve(S_full + 1e-8 * jnp.eye(n, dtype=S_full.dtype),
+                              b_blocks.reshape(n))
+        dc_blocks = dc.reshape(nC, 6)
 
     # back-substitute points: dp = V^-1 (-g_p - W^T dc)
     Wt_dc_o = jnp.einsum("oij,oi->oj", Y_o, dc_blocks[cam_adj_c], precision=_HIGHEST)
@@ -254,6 +327,8 @@ def ba_solve_impl(
     ftol: float = 1e-5,
     xtol: float = 1e-5,
     axis_name: str | None = None,
+    cg_iters: int = 0,
+    cg_tol: float = 1e-6,
 ):
     """Levenberg-Marquardt with Schur elimination.  Returns
     (rvecs, tvecs, points, BAStats).  Caller applies the reference's
@@ -262,7 +337,11 @@ def ba_solve_impl(
     ``axis_name``: set when called inside shard_map with points/observations
     sharded along that mesh axis (see parallel/dist_ba.py); every psum'd
     quantity (costs, camera system) is then globally consistent, so all
-    shards take identical LM accept/reject decisions."""
+    shards take identical LM accept/reject decisions.
+
+    ``cg_iters`` > 0 solves the reduced camera system with matrix-free
+    block-Jacobi PCG instead of a dense solve — required for global BA over
+    long keyframe chains (see _solve_normal_equations)."""
     p = problem._replace(obs_mask=problem.obs_mask.astype(problem.uv.dtype))
 
     def cost_at(rv, tv, pt):
@@ -282,7 +361,8 @@ def ba_solve_impl(
     def body(s):
         rv, tv, pt, lam, cost, it, done = s
         d_r, d_t, d_p = _solve_normal_equations(
-            rv, tv, pt, p, lam, huber_delta, n_fixed, axis_name
+            rv, tv, pt, p, lam, huber_delta, n_fixed, axis_name,
+            cg_iters=cg_iters, cg_tol=cg_tol,
         )
         rv2, tv2, pt2 = rv + d_r, tv + d_t, pt + d_p
         new_cost = cost_at(rv2, tv2, pt2)
@@ -331,5 +411,5 @@ def ba_solve_impl(
 
 ba_solve = jax.jit(
     ba_solve_impl,
-    static_argnames=("n_fixed", "axis_name"),
+    static_argnames=("n_fixed", "axis_name", "cg_iters"),
 )

@@ -45,11 +45,14 @@ class BAProblemGrid(NamedTuple):
     K: jnp.ndarray          # (3, 3)
 
 
-def from_flat(problem: ba_flat.BAProblem, max_slots: int | None = None) -> BAProblemGrid:
+def from_flat(problem: ba_flat.BAProblem, max_slots: int | None = None,
+              on_drop=None) -> BAProblemGrid:
     """Host-side conversion from the flat observation table.  Each point's
     observations fill its D slots; max_slots defaults to the max observation
-    count of any point (excess observations beyond max_slots are dropped —
-    log upstream if that matters)."""
+    count of any point, so by default NOTHING is dropped.  When max_slots
+    caps D below that, excess observations are dropped and ``on_drop(n)`` is
+    invoked with the count (no silent caps — callers route it to the event
+    log)."""
     pnt = np.asarray(problem.pnt_idx)
     cam = np.asarray(problem.cam_idx)
     uv = np.asarray(problem.uv)
@@ -76,6 +79,9 @@ def from_flat(problem: ba_flat.BAProblem, max_slots: int | None = None) -> BAPro
     starts_rep = np.repeat(run_start, np.diff(np.r_[run_start, len(p_sorted)]))
     slots = np.arange(len(p_sorted)) - starts_rep
     keep = slots < D
+    n_dropped = int((~keep).sum())
+    if n_dropped and on_drop is not None:
+        on_drop(n_dropped)
     cam_slot[p_sorted[keep], slots[keep]] = cam[rows[keep]]
     uv_g[p_sorted[keep], slots[keep]] = uv[rows[keep]]
     mask[p_sorted[keep], slots[keep]] = 1.0

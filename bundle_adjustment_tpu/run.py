@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the geometrically consistent pose chain instead "
                         "of the reference-parity quirk (see config.py)")
     p.add_argument("--features", type=int, default=None)
+    p.add_argument("--features-from-cv2", action="store_true",
+                   help="inject cv2.ORB keypoints/descriptors instead of the "
+                        "TPU extractor (detector-vs-geometry isolation; "
+                        "SURVEY §7 escape hatch)")
     p.add_argument("--fx", type=float, default=None,
                    help="override camera intrinsics (use with --fy/--cx/--cy)")
     p.add_argument("--fy", type=float, default=None)
@@ -96,6 +100,8 @@ def main(argv=None) -> dict:
         overrides["consistent_convention"] = True
     if args.features:
         overrides["num_features"] = args.features
+    if args.features_from_cv2:
+        overrides["features_source"] = "cv2"
     if args.mesh:
         overrides["mesh_shape"] = (1, args.mesh)
     if args.fx is not None:
@@ -117,13 +123,19 @@ def main(argv=None) -> dict:
     os.makedirs(args.out, exist_ok=True)
 
     log = EventLog(os.path.join(args.out, "events.jsonl"), echo=True)
+    resumed_frames = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         from bundle_adjustment_tpu.utils.checkpoint import load_checkpoint
 
         pipe = load_checkpoint(args.checkpoint, cfg, log=log,
                                use_pallas_matcher=args.pallas)
+        # pipe.frame_idx counts frames already consumed (0-based); skip that
+        # many source frames so the resumed run does not re-ingest them into
+        # the restored map (duplicate keyframes/observations otherwise)
+        resumed_frames = pipe.frame_idx + 1
         print(f"Resumed from {args.checkpoint}: frame {pipe.frame_idx}, "
-              f"{pipe.map.num_keyframes} keyframes")
+              f"{pipe.map.num_keyframes} keyframes; skipping the first "
+              f"{resumed_frames} already-processed source frames")
     else:
         pipe = VisualOdometryPipeline(cfg, log=log, use_pallas_matcher=args.pallas)
 
@@ -145,6 +157,9 @@ def main(argv=None) -> dict:
     t0 = time.perf_counter()
     n_frames = 0
     for frame in frames:
+        if resumed_frames > 0:
+            resumed_frames -= 1
+            continue
         pipe.process_frame(frame)
         n_frames += 1
     elapsed = time.perf_counter() - t0

@@ -28,7 +28,8 @@ _FORMAT_VERSION = 1
 
 #: operational knobs that do not change what the map MEANS — a checkpoint
 #: must resume fine across different output dirs / debug settings
-_NON_SEMANTIC = {"output_dir", "debug", "export_pcd_series", "export_voxel"}
+_NON_SEMANTIC = {"output_dir", "debug", "export_pcd_series", "export_voxel",
+                 "fused_frontend"}
 
 
 def _config_fingerprint(cfg) -> str:

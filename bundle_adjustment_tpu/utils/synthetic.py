@@ -48,13 +48,28 @@ def _project(K, R, t, X):
     return (Xc[:, :2] / Xc[:, 2:]) @ np.diag([K[0, 0], K[1, 1]]) + [K[0, 2], K[1, 2]]
 
 
-def render_frame(K, R, t, planes, width=640, height=480):
-    """planes: list of (texture, corners_world (4,3)), far to near order."""
+def render_frame(K, R, t, planes, width=640, height=480, depth_sort=False):
+    """planes: list of (texture, corners_world (4,3)), far to near order.
+    ``depth_sort`` re-orders per frame by camera distance (painter's
+    algorithm) — needed for closed scenes where the order depends on the
+    viewpoint; planes behind the camera are skipped."""
     import cv2
+
+    if depth_sort:
+        def depth(p):
+            c = p[1].mean(axis=0)
+            return float((R @ c + t)[2])
+
+        planes = sorted(planes, key=depth, reverse=True)
 
     frame = np.full((height, width, 3), 40, np.uint8)
     for tex, corners in planes:
+        Xc = corners @ R.T + t
+        if (Xc[:, 2] < 0.2).any():  # plane reaches behind the camera
+            continue
         uv = _project(K, R, t, corners).astype(np.float32)
+        if not np.isfinite(uv).all():
+            continue
         src = np.array([[0, 0], [tex.shape[1] - 1, 0],
                         [tex.shape[1] - 1, tex.shape[0] - 1],
                         [0, tex.shape[0] - 1]], np.float32)
@@ -83,6 +98,46 @@ def synthetic_sequence(
 
     rng = np.random.default_rng(seed)
     K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1.0]])
+
+    if motion == "room":
+        # Closed scene for reference-scale long sequences (the reference's
+        # real runs span frames 90-1400, legacy/local_BA_sparsity.py:698):
+        # a textured box interior + two free-standing occluder planes; the
+        # camera patrols an ellipse with sinusoidal yaw, so it REVISITS its
+        # starting view (loop), sees walls occluded and disoccluded by the
+        # inner planes, and sweeps viewpoints continuously.
+        half = 8.0
+        walls = []
+        for center, ex, ey in [
+            ([0, 0, half], [1, 0, 0], [0, 1, 0]),      # front wall
+            ([0, 0, -half], [-1, 0, 0], [0, 1, 0]),    # back wall
+            ([half, 0, 0], [0, 0, -1], [0, 1, 0]),     # right wall
+            ([-half, 0, 0], [0, 0, 1], [0, 1, 0]),     # left wall
+        ]:
+            walls.append((_texture(rng, size=768, blobs=900),
+                          _plane_corners_world(center, ex, ey, half)))
+        # occluders inside the room
+        walls.append((_texture(rng, size=256, blobs=160),
+                      _plane_corners_world([1.5, 0.3, 4.0], [1, 0, 0.2],
+                                           [0, 1, 0], 1.0)))
+        walls.append((_texture(rng, size=256, blobs=160),
+                      _plane_corners_world([-2.5, -0.5, -3.0], [1, 0, -0.3],
+                                           [0, 1, 0], 1.2)))
+        frames, centers, rotations = [], [], []
+        for i in range(n_frames):
+            s = i / max(n_frames - 1, 1)
+            ang = 2.0 * np.pi * s                       # full loop -> revisit
+            C = np.array([2.5 * np.sin(ang), 0.3 * np.sin(2 * ang),
+                          2.0 - 2.0 * np.cos(ang)])
+            yaw = -ang + 0.35 * np.sin(3 * ang)         # look-around sweeps
+            R = so3_exp_np(np.array([0.0, yaw, 0.0]))
+            t = -R @ C
+            frames.append(render_frame(K, R, t, walls, width, height,
+                                       depth_sort=True))
+            centers.append(C)
+            rotations.append(R)
+        return frames, K, np.stack(centers), np.stack(rotations)
+
     tex_far = _texture(rng)
     tex_near = _texture(rng)
     planes = [

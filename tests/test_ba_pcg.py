@@ -1,0 +1,141 @@
+"""Matrix-free PCG camera solve: equivalence with the dense Schur path at
+window scale, and global-BA viability at C >= 200 keyframes (the north-star
+"reduced camera system solved via PCG", replacing the scipy TRF solver at
+/root/reference/src/bundle_adjuster.py:170-174 — VERDICT round-1 item 2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu.ops import ba
+from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+from test_ba import make_problem
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1.0]])
+
+
+def make_chain_problem(rng, n_cams, pts_per_cam=24, track_len=6,
+                       noise=0.3, perturb=0.02):
+    """A long keyframe CHAIN with realistic sparsity: each camera spawns
+    ``pts_per_cam`` points observed by the next ``track_len`` cameras —
+    the structure of global BA over a lehman-length sequence (the dense
+    (6C)^2 system is the thing this layout makes intractable)."""
+    rv_gt, tv_gt = [], []
+    for c in range(n_cams):
+        rv_gt.append([0.003 * np.sin(c * 0.1), 0.02, 0.001 * np.cos(c * 0.2)])
+        tv_gt.append([0.2 * c, 0.01 * np.sin(c * 0.3), 0.005 * c])
+    rv_gt = np.array(rv_gt)
+    tv_gt = np.array(tv_gt)
+    Rs = np.stack([so3_exp_np(r) for r in rv_gt])
+
+    pts, cam_idx, pnt_idx, uv = [], [], [], []
+    for c in range(n_cams):
+        # points in front of camera c (in its frame), pushed to world
+        Xc = rng.uniform([-3, -3, 6], [3, 3, 14], size=(pts_per_cam, 3))
+        Xw = (Xc - tv_gt[c]) @ Rs[c]
+        base = c * pts_per_cam
+        for j in range(pts_per_cam):
+            pid = base + j
+            for c2 in range(c, min(c + track_len, n_cams)):
+                Xc2 = Rs[c2] @ Xw[j] + tv_gt[c2]
+                if Xc2[2] < 0.5:
+                    continue
+                u = (Xc2[:2] / Xc2[2]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+                cam_idx.append(c2)
+                pnt_idx.append(pid)
+                uv.append(u + rng.normal(size=2) * noise)
+        pts.append(Xw)
+    X = np.concatenate(pts)
+    cam_idx = np.array(cam_idx, np.int32)
+    pnt_idx = np.array(pnt_idx, np.int32)
+    uv = np.array(uv)
+
+    rv_p = rv_gt + rng.normal(size=rv_gt.shape) * perturb * 0.3
+    tv_p = tv_gt + rng.normal(size=tv_gt.shape) * perturb
+    rv_p[:2] = rv_gt[:2]
+    tv_p[:2] = tv_gt[:2]
+    X_p = X + rng.normal(size=X.shape) * perturb
+
+    prob = ba.BAProblem(
+        rvecs=jnp.asarray(rv_p, jnp.float32),
+        tvecs=jnp.asarray(tv_p, jnp.float32),
+        points=jnp.asarray(X_p, jnp.float32),
+        cam_idx=jnp.asarray(cam_idx),
+        pnt_idx=jnp.asarray(pnt_idx),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_mask=jnp.ones(len(uv), jnp.float32),
+        point_mask=jnp.ones(len(X), bool),
+        K=jnp.asarray(K, jnp.float32),
+    )
+    return prob, (rv_gt, tv_gt, X)
+
+
+def test_pcg_matches_dense_window(rng):
+    """At window scale both camera solvers must land on the same optimum."""
+    prob, (rv, tv, X) = make_problem(rng, n_cams=5, n_pts=80, noise=0.2,
+                                     perturb=0.05)
+    rvd, tvd, ptd, sd = ba.ba_solve(prob, n_fixed=1, max_iterations=30)
+    rvp, tvp, ptp, sp = ba.ba_solve(prob, n_fixed=1, max_iterations=30,
+                                    cg_iters=200, cg_tol=1e-8)
+    assert float(sp.final_cost) <= 1.02 * float(sd.final_cost), (
+        float(sp.final_cost), float(sd.final_cost))
+    np.testing.assert_allclose(np.asarray(rvp), np.asarray(rvd), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tvp), np.asarray(tvd), atol=2e-3)
+
+
+def test_pcg_single_step_matches_dense(rng):
+    """One normal-equations step: PCG delta == dense delta (tight tol)."""
+    prob, _ = make_problem(rng, n_cams=4, n_pts=48, noise=0.2, perturb=0.04)
+    p = prob._replace(obs_mask=prob.obs_mask.astype(prob.uv.dtype))
+    args = (p.rvecs, p.tvecs, p.points, p, jnp.float32(1e-3), 1.0, 1)
+    dr0, dt0, dp0 = ba._solve_normal_equations(*args)
+    dr1, dt1, dp1 = ba._solve_normal_equations(*args, cg_iters=400,
+                                               cg_tol=1e-10)
+    np.testing.assert_allclose(np.asarray(dr1), np.asarray(dr0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dt1), np.asarray(dt0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0), atol=1e-4)
+
+
+def test_pcg_global_ba_200_keyframes(rng):
+    """Global BA over a 200-keyframe chain (C_adj=198, ~4800 points,
+    ~28k observations) — the scale the dense path cannot reach (its coupling
+    tensor alone would be P*C*18 floats).  PCG must converge and recover the
+    perturbed chain."""
+    prob, (rv_gt, tv_gt, X) = make_chain_problem(
+        np.random.default_rng(3), n_cams=200)
+    assert prob.rvecs.shape[0] == 200
+    assert prob.uv.shape[0] > 20000
+
+    rv, tv, pt, stats = ba.ba_solve(prob, n_fixed=2, max_iterations=15,
+                                    cg_iters=100, cg_tol=1e-6)
+    init, final = float(stats.initial_sq), float(stats.final_sq)
+    O = int(np.asarray(prob.obs_mask).sum())
+    # converged to the noise floor: residual RMS at/below the 0.3 px injected
+    # noise (absolute pose error is the wrong metric on a chain — drift at the
+    # far end dominates it even at the ML optimum)
+    rms_final = np.sqrt(final / (2 * O))
+    assert rms_final < 0.3, (np.sqrt(init / (2 * O)), rms_final)
+    # consecutive relative poses (what BA actually constrains) improve a lot
+    def rel_err(tvs):
+        tvs = np.asarray(tvs)
+        d = np.diff(tvs, axis=0) - np.diff(tv_gt, axis=0)
+        return np.linalg.norm(d, axis=1).mean()
+    assert rel_err(tv) < 0.33 * rel_err(np.asarray(prob.tvecs)), (
+        rel_err(np.asarray(prob.tvecs)), rel_err(tv))
+
+
+def test_pcg_sharded_matches_single(rng):
+    """PCG inside shard_map: the per-CG-iteration psum keeps every shard's
+    camera update identical."""
+    from bundle_adjustment_tpu.parallel import dist_ba, mesh as mesh_mod
+
+    prob, _ = make_problem(rng, n_cams=4, n_pts=64, noise=0.2, perturb=0.05)
+    rv1, tv1, pt1, s1 = ba.ba_solve(prob, n_fixed=1, max_iterations=20,
+                                    cg_iters=200, cg_tol=1e-8)
+    mesh = mesh_mod.make_mesh(1, 8)
+    sharded = dist_ba.shard_problem(prob, 8)
+    rv8, tv8, pt8, s8 = dist_ba.ba_solve_sharded(
+        sharded, mesh, axis="pt", n_fixed=1, max_iterations=20,
+        cg_iters=200, cg_tol=1e-8)
+    np.testing.assert_allclose(np.asarray(rv8), np.asarray(rv1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tv8), np.asarray(tv1), atol=1e-3)

@@ -80,9 +80,10 @@ def test_windows_consensus(rng, mesh24):
         # equal-length windows (unique kf lists for bookkeeping)
     win_ids = [np.array(list(dict.fromkeys(w.tolist()))) for w in wins]
 
-    poses, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
+    poses, sim3s, (rvs, tvs, ptss, stats) = dist_ba.solve_windows_consensus(
         problems, win_ids, mesh24, n_fixed=1, max_iterations=25
     )
+    assert len(sim3s) == 2
     assert set(poses) == set(range(7))
     for kf, (rvk, tvk) in poses.items():
         assert np.isfinite(rvk).all() and np.isfinite(tvk).all()
@@ -121,6 +122,150 @@ def test_match_ring_equals_single(rng, mesh8):
     d_at = np.asarray(hamming.hamming_matrix(d1, d2))
     np.testing.assert_array_equal(
         d_at[np.arange(128), np.asarray(idx1)], np.asarray(best1).astype(int))
+
+
+def _make_map(n_kfs=5, n_pts=60, seed=0, perturb_kf=None, perturb_mag=0.05):
+    """A Map with known GT poses/points, full observations, and optionally
+    one keyframe's pose perturbed (for detecting stale writebacks)."""
+    from bundle_adjustment_tpu.models.map_store import Keyframe, Map
+    from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+    r = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1.0]])
+    X = r.uniform([-3, -3, 6], [3, 3, 14], size=(n_pts, 3))
+    m = Map(use_native=False)
+    uv_all = []
+    for c in range(n_kfs):
+        R = so3_exp_np(np.array([0.02 * c, -0.01 * c, 0.005 * c]))
+        t = np.array([0.25 * c, 0.02 * c, 0.01 * c])
+        Xc = X @ R.T + t
+        uv = (Xc[:, :2] / Xc[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        uv_all.append(uv)
+        R_store, t_store = R.copy(), t.copy()
+        if perturb_kf == c:
+            R_store = so3_exp_np(np.array([0.02 * c + perturb_mag,
+                                           -0.01 * c, 0.005 * c]))
+            t_store = t + perturb_mag
+        m.add_keyframe(Keyframe(
+            kf_id=c, R=R_store, t=t_store, xy=uv.copy(),
+            desc=jnp.zeros((n_pts, 8), jnp.uint32),
+            kp_valid=np.ones(n_pts, bool), frame_idx=c,
+        ))
+    mp_ids = m.add_map_points(X, None)
+    for c in range(n_kfs):
+        m.add_observations(c, mp_ids, np.arange(n_pts), uv_all[c])
+    return m, K, X
+
+
+def test_gather_window_repeat_padding_routes_to_first_slot():
+    """Repeat-padded windows (uneven partitions) must route the duplicated
+    keyframe's observations to its FIRST slot — the one the consensus reads —
+    not the padding slot (round-1 advisor finding)."""
+    m, K, _ = _make_map(n_kfs=3)
+    problem, mp_ids, _ = m.gather_window([0, 1, 2, 2], K, 256, 1024)
+    live = np.asarray(problem.obs_mask) > 0
+    cams = np.asarray(problem.cam_idx)[live]
+    assert (cams == 2).sum() > 0, "kf 2's observations missing from slot 2"
+    assert (cams == 3).sum() == 0, "observations leaked to the padding slot"
+
+
+def test_windows_consensus_repeat_padded(mesh24):
+    """End-to-end: partitioned global BA with an unevenly split window list
+    (last window repeat-padded) must still optimize the padded window's
+    last keyframe rather than writing back its stale input pose."""
+    from bundle_adjustment_tpu.ops.lie import so3_log_np
+
+    m, K, _ = _make_map(n_kfs=5, perturb_kf=4, perturb_mag=0.04)
+    gt_rv = np.array([[0.02 * c, -0.01 * c, 0.005 * c] for c in range(5)])
+    gt_tv = np.array([[0.25 * c, 0.02 * c, 0.01 * c] for c in range(5)])
+
+    # both repeat-padded to equal length, like partition_windows produces
+    windows = [np.array([0, 1, 2, 2]), np.array([2, 3, 4, 4])]
+    problems, mp_lists = [], []
+    for ids in windows:
+        uniq = list(dict.fromkeys(int(k) for k in ids))
+        prob, mp_ids, _ = m.gather_window(
+            uniq + [uniq[-1]] * (len(ids) - len(uniq)), K, 64, 256,
+            pad_to_max=True)
+        problems.append(dist_ba.shard_problem(prob, 4, min_obs_capacity=64))
+        mp_lists.append(mp_ids)
+    poses, _sim3s, _ = dist_ba.solve_windows_consensus(
+        problems, windows, mesh24, n_fixed=2, max_iterations=30)
+
+    # kf 4 entered perturbed by 0.04; the consensus pose must be the
+    # OPTIMIZED one (near GT), not the stale input
+    rv4, tv4 = poses[4]
+    assert np.linalg.norm(rv4 - gt_rv[4]) < 0.01, rv4 - gt_rv[4]
+    assert np.linalg.norm(tv4 - gt_tv[4]) < 0.02, tv4 - gt_tv[4]
+
+
+def test_sim3_consensus_recovers_divergent_gauges():
+    """Windows whose solutions live in deliberately divergent sim(3) gauges
+    (scale drift + rotation + offset — exactly what independent monocular
+    window solves produce) must be reconciled back onto the first window's
+    frame.  A Euclidean average of rotation vectors / translations (round-1
+    consensus) cannot do this; the sim(3) chain alignment must."""
+    from bundle_adjustment_tpu.ops.lie import so3_exp_np, so3_log_np
+
+    gt_rv = np.array([[0.03 * c, -0.02 * c, 0.01 * c] for c in range(6)])
+    gt_tv = np.array([[0.3 * c, 0.05 * c, 0.02 * c] for c in range(6)])
+
+    windows = [np.array([0, 1, 2, 3]), np.array([2, 3, 4, 5])]
+    # window 0 at GT; window 1 distorted by a sim(3): world scaled 1.4x,
+    # rotated 0.2 rad, shifted — its extrinsics transform accordingly
+    s_d = 1.4
+    R_d = so3_exp_np(np.array([0.1, -0.15, 0.05]))
+    t_d = np.array([0.5, -0.3, 0.2])
+
+    rvs = np.zeros((2, 4, 3))
+    tvs = np.zeros((2, 4, 3))
+    for i, kf in enumerate(windows[0]):
+        rvs[0, i] = gt_rv[kf]
+        tvs[0, i] = gt_tv[kf]
+    for i, kf in enumerate(windows[1]):
+        R = so3_exp_np(gt_rv[kf])
+        # distorted world: X' = s_d R_d X + t_d; camera center follows as
+        # c' = s_d R_d c + t_d, orientation as R' = R R_dᵀ
+        c = -R.T @ gt_tv[kf]
+        c_w = s_d * (R_d @ c) + t_d
+        R_w = R @ R_d.T
+        rvs[1, i] = so3_log_np(R_w)
+        tvs[1, i] = -(R_w @ c_w)
+
+    poses, sim3s = dist_ba.reconcile_windows_sim3(windows, rvs, tvs)
+    # recovered alignment ~ inverse of the distortion
+    s_r, R_r, t_r = sim3s[1]
+    assert abs(s_r - 1.0 / s_d) < 1e-6
+    for kf in range(6):
+        rvk, tvk = poses[kf]
+        np.testing.assert_allclose(rvk, gt_rv[kf], atol=1e-8)
+        np.testing.assert_allclose(tvk, gt_tv[kf], atol=1e-7)
+
+
+def test_capacity_drop_event_emitted():
+    """Over-capacity BA windows must surface a capacity_drop event
+    ("no silent caps" — SURVEY §4 quality rule)."""
+    from bundle_adjustment_tpu.utils.event_log import EventLog
+
+    m, K, _ = _make_map(n_kfs=3, n_pts=50)
+    m.log = EventLog(echo=False)
+    problem, mp_ids, _ = m.gather_window([0, 1, 2], K, max_points=16,
+                                         max_obs=64)
+    drops = [e for e in m.log.events if e["event"] == "capacity_drop"]
+    assert drops, "truncation happened but no capacity_drop event"
+    assert drops[0]["dropped_points"] == 50 - 16
+    assert len(mp_ids) <= 16 and int(np.asarray(problem.obs_mask).sum()) <= 64
+
+
+def test_grid_from_flat_drop_callback(rng):
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    prob, _ = make_problem(rng, n_cams=4, n_pts=32)
+    dropped = []
+    grid = ba_grid.from_flat(prob, max_slots=1, on_drop=dropped.append)
+    assert dropped and dropped[0] > 0
+    assert int(np.asarray(grid.mask).sum()) + dropped[0] == int(
+        np.asarray(prob.obs_mask).sum())
 
 
 def test_pipeline_with_sharded_ba(rng):

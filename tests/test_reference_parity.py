@@ -58,7 +58,7 @@ def our_run(desk_frames, tmp_path_factory):
 
 
 def test_structural_parity(reference_run, our_run):
-    ref_traj, ref_pts, ref_kf_ids = reference_run
+    ref_traj, ref_pts, ref_kf_ids, _ = reference_run
     pipe, summary, _ = our_run
     # same keyframe decisions on the same frames with equivalent gates
     assert summary["num_keyframes"] == len(ref_kf_ids) == 3
@@ -70,24 +70,23 @@ def test_structural_parity(reference_run, our_run):
 def test_quality_dominates_reference(reference_run, our_run):
     """On identical inputs, our final global-BA reprojection cost must be
     at least 100x below the reference's (its quirky initialization leaves
-    scipy TRF stuck in the e7 range on desk; measured ~2.1e7 vs our ~1.5e3)."""
+    scipy TRF stuck in the e7 range on desk; historically ~2.1e7 vs our
+    ~1.5e3).  The oracle cost is measured from the reference run that
+    actually executed in this session, not a hard-coded constant."""
+    ref_traj, ref_pts, ref_kf_ids, ref_final = reference_run
     pipe, summary, log = our_run
     ours_final = summary["global_ba"]["final"]
 
-    # recompute the reference's final cost from its own printed contract:
-    # run_reference already executed its global BA; re-run cheaply to read the
-    # cost is wasteful, so parse from a fresh quiet run is avoided — instead
-    # use the documented measurement bound.
-    REF_FINAL_COST_DESK = 2.0e7  # measured from its own LBA log line
-    assert ours_final * 100 < REF_FINAL_COST_DESK, (
-        f"ours {ours_final} not << reference {REF_FINAL_COST_DESK}"
+    assert ref_final > 0, "reference run produced no observations to score"
+    assert ours_final * 100 < ref_final, (
+        f"ours {ours_final} not << reference {ref_final}"
     )
 
 
 def test_reference_trajectory_is_reproducible(reference_run):
     """Pin the oracle: the reference's desk trajectory (its own convention)
     so future rounds can detect drift in the harness itself."""
-    ref_traj, ref_pts, ref_kf_ids = reference_run
+    ref_traj, ref_pts, ref_kf_ids, _ = reference_run
     assert ref_traj.shape == (3, 3)
     np.testing.assert_allclose(ref_traj[0], 0.0, atol=1e-12)
     # its unit-norm+quirk chain puts KF1 ~47 units out and KF2 back near the

