@@ -60,6 +60,61 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
+def so3_exp_and_jac(w: jnp.ndarray):
+    """Rodrigues map AND its analytic derivative, batched over leading dims.
+
+    Returns ``(R, dRdw)`` with ``R[..., 3, 3]`` equal to :func:`so3_exp` and
+    ``dRdw[..., 3, 3, 3]`` where ``dRdw[..., i, j, k] = dR_ij / dw_k`` —
+    matching ``jax.jacfwd(so3_exp)`` to float tolerance (tested in
+    tests/test_lie.py) but with no autodiff machinery, so it is usable inside
+    Pallas kernels (ops/ba_pallas.py) where jacfwd cannot trace.
+
+    Derivation: R = I + a W + b W² with W = hat(w), a = sin t / t,
+    b = (1-cos t)/t².  Then for each component k,
+
+        dR/dw_k = (a'/t) w_k W + a hat(e_k)
+                + (b'/t) w_k W² + b (hat(e_k) W + W hat(e_k))
+
+    with the small-angle limits a'/t -> -1/3, b'/t -> -1/12 (Taylor to t²).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < _EPS
+
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, sin_t / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - cos_t) / theta2.clip(_EPS * _EPS))
+    # a'(t)/t and b'(t)/t with Taylor fallbacks
+    t3 = (theta2 * theta).clip(_EPS ** 3)
+    t4 = (theta2 * theta2).clip(_EPS ** 4)
+    ratio_a = jnp.where(small, -1.0 / 3.0 + theta2 / 30.0,
+                        (theta * cos_t - sin_t) / t3)
+    ratio_b = jnp.where(small, -1.0 / 12.0 + theta2 / 180.0,
+                        (theta * sin_t - 2.0 * (1.0 - cos_t)) / t4)
+
+    W = so3_hat(w)
+    W2 = _mm(W, W)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    R = eye + a[..., None, None] * W + b[..., None, None] * W2
+
+    E = so3_hat(jnp.eye(3, dtype=w.dtype))          # (3, 3, 3): E[k] = hat(e_k)
+    E = jnp.broadcast_to(E, w.shape[:-1] + (3, 3, 3))
+    EW = jnp.matmul(E, W[..., None, :, :], precision=_HIGHEST)
+    WE = jnp.matmul(W[..., None, :, :], E, precision=_HIGHEST)
+
+    dR = (
+        (ratio_a[..., None, None, None] * w[..., :, None, None]) * W[..., None, :, :]
+        + a[..., None, None, None] * E
+        + (ratio_b[..., None, None, None] * w[..., :, None, None]) * W2[..., None, :, :]
+        + b[..., None, None, None] * (EW + WE)
+    )
+    # dR currently indexed [..., k, i, j]; reorder to [..., i, j, k]
+    dR = jnp.moveaxis(dR, -3, -1)
+    return R, dR
+
+
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix -> rotation vector (inverse Rodrigues).
 

@@ -93,3 +93,38 @@ def test_invert_rt(rng):
     Xc = X @ R.T + t
     X_back = Xc @ Ri.T + ti
     np.testing.assert_allclose(np.asarray(X_back), np.asarray(X), atol=1e-5)
+
+
+def test_so3_exp_and_jac_matches_jacfwd(rng):
+    """Analytic Rodrigues derivative == autodiff, incl. the theta->0 regime
+    (the Pallas BA kernel inlines this math; ops/ba_pallas.py)."""
+    import jax
+
+    ws = np.concatenate([
+        rng.normal(size=(32, 3)),
+        np.zeros((1, 3)),
+        rng.normal(size=(4, 3)) * 1e-6,
+        rng.normal(size=(4, 3)) * np.pi,
+    ]).astype(np.float32)
+    ws = jnp.asarray(ws)
+    R_ad = jax.vmap(lie.so3_exp)(ws)
+    J_ad = jax.vmap(jax.jacfwd(lie.so3_exp))(ws)
+    R_an, J_an = lie.so3_exp_and_jac(ws)
+    np.testing.assert_allclose(np.asarray(R_an), np.asarray(R_ad), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad), atol=1e-5)
+
+
+def test_rodrigues_rows_matches_exp_and_jac(rng):
+    """The Pallas kernel's row-stacked Rodrigues == lie.so3_exp_and_jac."""
+    from bundle_adjustment_tpu.ops.ba_pallas import _rodrigues_rows
+
+    ws = jnp.asarray(np.concatenate(
+        [rng.normal(size=(8, 3)), np.zeros((1, 3))]).astype(np.float32))
+    R, J = lie.so3_exp_and_jac(ws)
+    R_rows, dR_rows = _rodrigues_rows(jnp.transpose(ws), want_jac=True)
+    C = ws.shape[0]
+    R_k = np.asarray(R_rows).T.reshape(C, 3, 3)
+    np.testing.assert_allclose(R_k, np.asarray(R), atol=1e-6)
+    # dR_rows[k*9+i*3+j] = dR_ij/dr_k  ->  (C, k, i, j) -> (C, i, j, k)
+    J_k = np.asarray(dR_rows).T.reshape(C, 3, 3, 3).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(J_k, np.asarray(J), atol=1e-5)
