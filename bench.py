@@ -88,30 +88,45 @@ def bench_tpu_ba(prob, repeats=3):
     round trips (ms-scale each), and back-to-back async dispatches overlap and
     under-count.  The clean protocol: time one call pinned to K iterations
     (ftol=xtol=0 disables early exit) minus a 1-iteration call, divided by the
-    actual iteration delta."""
-    from bundle_adjustment_tpu.ops import ba
+    actual iteration delta.
 
-    from bundle_adjustment_tpu.ops import ba_grid
+    Measures BOTH window solvers: the XLA observation-grid solver and the
+    fused Pallas LM kernel (ops/ba_pallas.py; TPU only).  The headline is the
+    best available on this backend."""
+    from bundle_adjustment_tpu.ops import ba_grid, ba_pallas
 
     grid = ba_grid.from_flat(prob)
 
-    def run(iters):
-        kwargs = dict(n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-                      lambda_max=1e30)
-        out = ba_grid.ba_solve_grid(grid, **kwargs)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = ba_grid.ba_solve_grid(grid, **kwargs)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best, int(out[3].iterations), out[3]
+    def measure(solve):
+        def run(iters):
+            kwargs = dict(n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+                          lambda_max=1e30)
+            out = solve(grid, **kwargs)
+            jax.block_until_ready(out[:3])
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                out = solve(grid, **kwargs)
+                jax.block_until_ready(out[:3])
+                best = min(best, time.perf_counter() - t0)
+            return best, int(out[3].iterations), out[3]
 
-    d1, i1, _ = run(1)
-    dK, iK, stats = run(101)
-    per_iter = (dK - d1) / max(iK - i1, 1)
-    return 1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq), grid
+        d1, i1, _ = run(1)
+        dK, iK, stats = run(101)
+        per_iter = (dK - d1) / max(iK - i1, 1)
+        return 1.0 / per_iter, stats
+
+    grid_its, stats = measure(ba_grid.ba_solve_grid)
+    pallas_its = None
+    if jax.default_backend() == "tpu":
+        pallas_its, p_stats = measure(ba_pallas.ba_solve_grid_pallas)
+        # the kernel must reproduce the XLA solve (same LM semantics)
+        assert abs(float(p_stats.final_sq) - float(stats.final_sq)) <= \
+            1e-2 * max(float(stats.final_sq), 1.0), (
+                float(p_stats.final_sq), float(stats.final_sq))
+    best = max(grid_its, pallas_its or 0.0)
+    return (best, float(stats.initial_sq), float(stats.final_sq), grid,
+            grid_its, pallas_its)
 
 
 def lm_iteration_flops(grid, n_fixed=1):
@@ -295,7 +310,7 @@ def main():
 
     rng = np.random.default_rng(7)
     prob, _ = make_window_problem(rng)
-    it_per_s, init_sq, final_sq, grid = bench_tpu_ba(prob)
+    it_per_s, init_sq, final_sq, grid, grid_its, pallas_its = bench_tpu_ba(prob)
     peak = device_peak_flops()
     ba_flops = lm_iteration_flops(grid)
     ba_tflops = ba_flops * it_per_s / 1e12
@@ -328,6 +343,8 @@ def main():
         "scipy_cpu_iters_per_s": baseline,
         "ba_cost_reduction": round(init_sq / max(final_sq, 1e-9), 1),
         "ba_ms_per_iter": round(1e3 / it_per_s, 4),
+        "ba_xla_grid_iters_per_s": round(grid_its, 1),
+        "ba_pallas_iters_per_s": (round(pallas_its, 1) if pallas_its else None),
         "ba_flops_per_iter": ba_flops,
         "ba_achieved_tflops": round(ba_tflops, 3),
         "ba_mfu_pct_bf16peak": round(100 * ba_tflops * 1e12 / peak, 3),

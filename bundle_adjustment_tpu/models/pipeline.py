@@ -54,6 +54,7 @@ class VisualOdometryPipeline:
         self._lost_frames = 0
         self._last_debug_frame = None
         self._mesh = None
+        self._pallas_ba_broken = False  # set on first Mosaic compile failure
         # fused-frontend device mirror of the last keyframe (models/frontend)
         self._front_state = None
         self._front_state_kf = -1
@@ -924,14 +925,32 @@ class VisualOdometryPipeline:
             rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
         else:
             # single-device fast path: the scatter-free observation-grid
-            # solver (ops/ba_grid.py; ~1.8x the flat path's it/s on TPU)
-            from bundle_adjustment_tpu.ops import ba_grid
+            # solver (ops/ba_grid.py), upgraded to the fused Pallas LM kernel
+            # (ops/ba_pallas.py; one device dispatch for the WHOLE solve,
+            # ~8 us/LM iteration on v5e) when on TPU and within its bounds
+            from bundle_adjustment_tpu.ops import ba_grid, ba_pallas
 
             grid = ba_grid.from_flat(problem, on_drop=lambda n: self.log.emit(
                 "capacity_drop",
                 f"    -> Grid layout dropped {n} observations (max_slots cap)",
                 dropped_obs=int(n)))
-            rv, tv, pts, stats = ba_grid.ba_solve_grid(grid, **solver_kwargs)
+            if (self.cfg.ba.use_pallas_ba and not self._pallas_ba_broken
+                    and jax.default_backend() == "tpu"
+                    and ba_pallas.kernel_eligible(grid, n_fixed)):
+                try:
+                    rv, tv, pts, stats = ba_pallas.ba_solve_grid_pallas(
+                        grid, **solver_kwargs)
+                except Exception as e:  # Mosaic compile limits: fall back
+                    self._pallas_ba_broken = True
+                    self.log.emit(
+                        "pallas_ba_fallback",
+                        f"    -> Pallas BA kernel unavailable ({e!r}); "
+                        "using the XLA grid solver")
+                    rv, tv, pts, stats = ba_grid.ba_solve_grid(
+                        grid, **solver_kwargs)
+            else:
+                rv, tv, pts, stats = ba_grid.ba_solve_grid(
+                    grid, **solver_kwargs)
         stats = jax.device_get(stats)
         elapsed = time.perf_counter() - t0
 

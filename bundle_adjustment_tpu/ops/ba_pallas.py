@@ -422,6 +422,22 @@ def _lm_solve_values(rv0, tv0, ptT0, onehot, maskT, uvT, pmaskT, params, cfg):
     return rv, tvv, ptT, stats
 
 
+def kernel_eligible(grid: ba_grid.BAProblemGrid, n_fixed: int = 1) -> bool:
+    """Static-bound gate for the fused kernel: the Gauss-Jordan unroll wants
+    a small camera system and everything must fit VMEM (~16 MB/core).  Above
+    these bounds callers use the XLA grid solver or the PCG flat path."""
+    P, D = grid.cam_slot.shape
+    C = grid.rvecs.shape[0]
+    n = max(C - n_fixed, 1) * 6
+    if n > 48 or D > 12 or P > 16384:
+        return False
+    P_pad = -(-P // 128) * 128
+    # dominant VMEM residents: 3 B stacks + OHJ/right transients (n, P),
+    # onehot (D*C, P), ~70 (1, P) working rows, uv/mask
+    est_bytes = 4 * P_pad * (4 * n + D * C + 3 * D + 70)
+    return est_bytes < 10 * 1024 * 1024
+
+
 def _kernel(rv_ref, tv_ref, pt_ref, onehot_ref, mask_ref, uv_ref, pmask_ref,
             params_ref, rv_out, tv_out, pt_out, stats_out, *, cfg):
     rv, tvv, ptT, stats = _lm_solve_values(
