@@ -9,9 +9,16 @@ static-shape and jits once per image geometry:
   contiguous-arc check done by bit-packing the 16 compare bits into an int32
   and AND-shifting (runs >= 9 in five ops) — no per-pixel loops
 - 3x3 NMS on a FAST magnitude score, Harris re-ranking (OpenCV's default
-  HARRIS_SCORE behavior), fixed per-level budgets via lax.top_k
-- intensity-centroid orientation over a radius-15 disc
-- steered-BRIEF 256-bit descriptors sampled from the blurred level image
+  HARRIS_SCORE behavior), fixed per-level budgets via lax.approx_max_k
+  (the TPU-native two-stage top-k)
+- intensity-centroid orientation over a radius-15 disc, computed as DENSE
+  moment maps (incremental shift-add filters) instead of per-keypoint
+  gathers — TPU element gathers are scalar-unit-bound (measured ~9 ms for
+  one level's disc gathers vs sub-ms dense; tools/profile_orb.py)
+- steered-BRIEF 256-bit descriptors: one (37, 37) patch per keypoint via a
+  big-slice gather, then all pair comparisons for the keypoint's 12° angle
+  bin (the ORB paper's rBRIEF steering quantization) as a single bf16 MXU
+  matmul against a precomputed ±1 pattern matrix
 
 Parity note (SURVEY §7 hard part 1): this targets *behavioral* parity
 (match statistics, downstream trajectory), not bit parity with OpenCV.  The
@@ -41,9 +48,12 @@ _FAST_CIRCLE = np.array(
     dtype=np.int32,
 )
 
-_PATCH_R = 15          # orientation / descriptor patch radius
-_BORDER = 17           # detection border (patch radius + sampling slack)
+_PATCH_R = 15          # orientation disc radius
+_SAMPLE_R = 18         # max |rotated BRIEF offset| (pattern norm <= 13*sqrt(2))
+_PATCH = 2 * _SAMPLE_R + 1   # descriptor patch side (37)
+_BORDER = 19           # detection border (sampling radius + 1)
 _NUM_PAIRS = 256
+_NBINS = 30            # rBRIEF steering quantization: 2*pi/30 = 12 degrees
 
 
 def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
@@ -61,14 +71,6 @@ try:
     from bundle_adjustment_tpu.ops.brief_pattern import PATTERN as _BRIEF_PATTERN
 except ImportError:  # fall back to the plain seeded Gaussian pattern
     _BRIEF_PATTERN = _make_brief_pattern()
-
-# radius-15 disc offsets for the intensity centroid (precomputed host-side)
-_dy, _dx = np.mgrid[-_PATCH_R : _PATCH_R + 1, -_PATCH_R : _PATCH_R + 1]
-_DISC = (_dx * _dx + _dy * _dy) <= _PATCH_R * _PATCH_R
-_DISC_DX = _dx[_DISC].astype(np.float32)   # (P,)
-_DISC_DY = _dy[_DISC].astype(np.float32)
-_DISC_OFF = np.stack([_dy[_DISC], _dx[_DISC]], axis=1).astype(np.int32)  # (P, 2)
-
 
 class Keypoints(NamedTuple):
     """SoA keypoint batch, fixed capacity N (padded, masked)."""
@@ -99,17 +101,14 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, ksize: int = 7) -> jnp.n
     return sum(p[i : i + img.shape[0], :] * kj[i] for i in range(ksize))
 
 
-def _shift(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
-    """shifted[y, x] = img[y+dy, x+dx], edge-padded (borders are masked later)."""
-    H, W = img.shape
-    p = jnp.pad(img, ((3, 3), (3, 3)), mode="edge")
-    return jax.lax.dynamic_slice(p, (3 + dy, 3 + dx), (H, W))
-
-
 def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """FAST-9 corner score map: 0 where not a corner, else the arc-contrast
     magnitude used for NMS.  img: (H, W) f32 in [0, 255]."""
-    shifted = jnp.stack([_shift(img, int(dx), int(dy)) for dx, dy in _FAST_CIRCLE])
+    H, W = img.shape
+    p = jnp.pad(img, ((3, 3), (3, 3)), mode="edge")  # one pad, 16 static slices
+    shifted = jnp.stack(
+        [p[3 + int(dy):3 + int(dy) + H, 3 + int(dx):3 + int(dx) + W]
+         for dx, dy in _FAST_CIRCLE])
     bright = shifted > img[None] + threshold          # (16, H, W)
     dark = shifted < img[None] - threshold
 
@@ -170,13 +169,45 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((score == m) & (score > 0), score, 0.0)
 
 
-def _gather_patch_vals(img, yx, offsets):
-    """Sample img at integer yx[k] + offsets[p] for all keypoints/offsets.
-    img: (H, W); yx: (N, 2) i32 (y, x); offsets: (P, 2) i32 -> (N, P) f32."""
+def _moment_maps(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense intensity-centroid moments (m10, m01) over the radius-15 disc at
+    EVERY pixel — orientation without per-keypoint gathers.
+
+    TPU rationale (measured, tools/profile_orb.py): the per-keypoint disc
+    gather (709 samples x ~1300 keypoints) costs ~9 ms/level because TPU
+    element gathers are scalar-unit work; these dense maps are ~150 fused
+    full-image VPU adds (HBM-bandwidth bound, sub-ms), after which the
+    per-keypoint read is 2 elements.  Uses incremental-width x-filters:
+      ramp  R_w(y,x) = sum_{j=1..w} j*(I(y,x+j) - I(y,x-j))
+      box   B_w(y,x) = sum_{|j|<=w} I(y,x+j)
+    with R_w = R_{w-1} + w*(I_{+w} - I_{-w}) (and box analog), then
+      m10 = sum_dy R_{w(|dy|)} shifted by dy,   w(dy) = floor(sqrt(r^2-dy^2))
+      m01 = sum_dy dy * B_{w(|dy|)} shifted by dy
+    which is exactly sum over the disc of dx*I / dy*I (edge-clamped borders,
+    same values as the old clipped gather)."""
     H, W = img.shape
-    yy = jnp.clip(yx[:, 0:1] + offsets[None, :, 0], 0, H - 1)
-    xx = jnp.clip(yx[:, 1:2] + offsets[None, :, 1], 0, W - 1)
-    return img[yy, xx]
+    r = _PATCH_R
+    p = jnp.pad(img, r, mode="edge")  # (H+2r, W+2r)
+    widths = [int(np.floor(np.sqrt(r * r - dy * dy))) for dy in range(r + 1)]
+
+    def xs(j):  # x-shifted view, all padded rows kept for the later y-shift
+        return p[:, r + j : r + j + W]
+
+    ramp = [jnp.zeros((H + 2 * r, W), img.dtype)]
+    box = [xs(0)]
+    for j in range(1, r + 1):
+        ramp.append(ramp[-1] + float(j) * (xs(j) - xs(-j)))
+        box.append(box[-1] + xs(j) + xs(-j))
+
+    m10 = jnp.zeros((H, W), img.dtype)
+    m01 = jnp.zeros((H, W), img.dtype)
+    for dy in range(-r, r + 1):
+        w = widths[abs(dy)]
+        if w > 0:
+            m10 = m10 + ramp[w][r + dy : r + dy + H, :]
+        if dy != 0:
+            m01 = m01 + float(dy) * box[w][r + dy : r + dy + H, :]
+    return m10, m01
 
 
 def _detect_level(img_f32, threshold, budget, border=_BORDER):
@@ -194,7 +225,12 @@ def _detect_level(img_f32, threshold, budget, border=_BORDER):
     # rank candidates by Harris (OpenCV HARRIS_SCORE), -inf where not a corner
     rank = jnp.where((score > 0) & in_border, harris, -jnp.inf)
 
-    top_vals, top_idx = jax.lax.top_k(rank.reshape(-1), budget)
+    # approx_max_k is the TPU-native top-k (two-stage partial reduction;
+    # ~free vs ~1.3 ms for exact lax.top_k on a 720p map).  Missing a few of
+    # the true top-`budget` corners is behaviorally irrelevant: budgets are
+    # already inflated by `overdetect` and re-compacted across levels.
+    top_vals, top_idx = jax.lax.approx_max_k(
+        rank.reshape(-1), budget, recall_target=0.95)
     valid = jnp.isfinite(top_vals)
     yx = jnp.stack([top_idx // W, top_idx % W], axis=1).astype(jnp.int32)  # (B, 2)
 
@@ -216,33 +252,80 @@ def _detect_level(img_f32, threshold, budget, border=_BORDER):
     off_x = subpixel_offset(score_at(0, -1), score_at(0, 1))
     off_y = subpixel_offset(score_at(-1, 0), score_at(1, 0))
 
-    # orientation: intensity centroid over the disc
-    patch = _gather_patch_vals(img_f32, yx, jnp.asarray(_DISC_OFF))  # (B, P)
-    m10 = patch @ jnp.asarray(_DISC_DX)
-    m01 = patch @ jnp.asarray(_DISC_DY)
-    angle = jnp.arctan2(m01, m10)
+    # orientation: intensity centroid over the disc, read from the dense
+    # moment maps (2 element gathers per keypoint instead of 709)
+    m10, m01 = _moment_maps(img_f32)
+    flat = yx[:, 0] * W + yx[:, 1]
+    angle = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
 
     desc = _describe(blurred, yx, angle)
     xy = jnp.stack([yx[:, 1] + off_x, yx[:, 0] + off_y], axis=1).astype(jnp.float32)  # (x, y)
     return xy, top_vals, angle, valid, desc
 
 
-def _describe(blurred, yx, angle):
-    """Steered-BRIEF: rotate the pattern by each keypoint's angle, sample with
-    nearest rounding (OpenCV convention), compare pairs -> packed u32 bits."""
-    pat = jnp.asarray(_BRIEF_PATTERN, jnp.float32)          # (256, 2, 2) [x, y]
-    c, s = jnp.cos(angle), jnp.sin(angle)                   # (B,)
-    px, py = pat[..., 0], pat[..., 1]                       # (256, 2)
-    rx = px[None] * c[:, None, None] - py[None] * s[:, None, None]  # (B, 256, 2)
-    ry = px[None] * s[:, None, None] + py[None] * c[:, None, None]
-    ox = jnp.round(rx).astype(jnp.int32)
-    oy = jnp.round(ry).astype(jnp.int32)
+def _pattern_matrix() -> np.ndarray:
+    """(PATCH*PATCH, NBINS*256) ±1 descriptor-sampling matrix.
 
+    The ORB paper's rBRIEF discretizes the steering rotation to 2π/30 (12°)
+    increments and precomputes the rotated pattern per bin; this bakes that
+    lookup table into a single constant matrix so descriptor sampling becomes
+    one MXU matmul over extracted patches:
+        bit(k, j) = [patch_k · D[:, bin_k*256 + j] > 0]
+    where column (q, j) is onehot(rotated point b) - onehot(rotated point a)
+    (so bit = I(p_a) < I(p_b), identical semantics to direct sampling; a pair
+    whose endpoints round to the same cell yields 0 -> bit False, matching
+    the strict '<')."""
+    D = np.zeros((_PATCH * _PATCH, _NBINS * _NUM_PAIRS), np.float32)
+    pat = _BRIEF_PATTERN.astype(np.float64)                 # (256, 2, 2) [x, y]
+    px, py = pat[..., 0], pat[..., 1]                       # (256, 2)
+    for q in range(_NBINS):
+        th = 2.0 * np.pi * q / _NBINS
+        c, s = np.cos(th), np.sin(th)
+        ox = np.round(px * c - py * s).astype(np.int64)     # (256, 2)
+        oy = np.round(px * s + py * c).astype(np.int64)
+        cell = (oy + _SAMPLE_R) * _PATCH + (ox + _SAMPLE_R)
+        cols = q * _NUM_PAIRS + np.arange(_NUM_PAIRS)
+        np.add.at(D, (cell[:, 1], cols), 1.0)
+        np.add.at(D, (cell[:, 0], cols), -1.0)
+    return D
+
+
+_PATTERN_MATRIX = _pattern_matrix()
+
+
+def _describe(blurred, yx, angle):
+    """Steered-BRIEF, TPU-native: extract one (37, 37) patch per keypoint
+    (a single XLA gather of large contiguous slices — ~5x faster than the
+    per-sample element gather, measured), then do all 256 pair comparisons
+    for the keypoint's 12° angle bin as one bf16 MXU matmul against the
+    precomputed ±1 pattern matrix.  Packs to (B, 8) u32."""
     H, W = blurred.shape
-    yy = jnp.clip(yx[:, 0, None, None] + oy, 0, H - 1)      # (B, 256, 2)
-    xx = jnp.clip(yx[:, 1, None, None] + ox, 0, W - 1)
-    vals = blurred[yy, xx]                                  # (B, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (B, 256)
+    start_y = jnp.clip(yx[:, 0] - _SAMPLE_R, 0, H - _PATCH)
+    start_x = jnp.clip(yx[:, 1] - _SAMPLE_R, 0, W - _PATCH)
+
+    def one(sy, sx):
+        return jax.lax.dynamic_slice(blurred, (sy, sx), (_PATCH, _PATCH))
+
+    patches = jax.vmap(one)(start_y, start_x)               # (B, 37, 37)
+    # center at 128 so bf16 quantization error is ~0.25 intensity steps; the
+    # shift cancels exactly in every pair difference (columns sum to 0)
+    pm = (patches.reshape(-1, _PATCH * _PATCH) - 128.0).astype(jnp.bfloat16)
+    D = jnp.asarray(_PATTERN_MATRIX, jnp.bfloat16)
+    vals = jax.lax.dot_general(
+        pm, D, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(-1, _NBINS, _NUM_PAIRS)
+
+    # soft steering: linear blend of the two adjacent bins (recovers the
+    # quality lost to hard 12° quantization — measured cross-view epipolar
+    # inlier ratio 0.38 hard vs 0.45 blended on the desk pair — for the cost
+    # of a 2-hot instead of 1-hot bin-select einsum)
+    a = angle * (_NBINS / (2.0 * np.pi))
+    q0 = jnp.floor(a).astype(jnp.int32)
+    t = (a - q0.astype(a.dtype))[:, None]
+    w = (jax.nn.one_hot(jnp.mod(q0, _NBINS), _NBINS, dtype=vals.dtype) * (1 - t)
+         + jax.nn.one_hot(jnp.mod(q0 + 1, _NBINS), _NBINS, dtype=vals.dtype) * t)
+    sel = jnp.einsum("bq,bqj->bj", w, vals)
+    bits = (sel > 0).astype(jnp.uint32)                     # (B, 256)
 
     lane = jnp.arange(256, dtype=jnp.uint32) % 32
     word = np.arange(256) // 32
