@@ -864,9 +864,15 @@ class VisualOdometryPipeline:
     def _solve_window(self, window, all_ids, global_ba: bool = False) -> Optional[dict]:
 
         n_fixed = max(1, min(self.cfg.ba.n_fixed, len(window) - 1))
-        gathered = self.map.gather_window(
-            window, self.K, self.cfg.ba.max_points, self.cfg.ba.max_obs
-        )
+        max_points, max_obs = self.cfg.ba.max_points, self.cfg.ba.max_obs
+        if global_ba:
+            # global BA must see the WHOLE map: auto-size the gather capacity
+            # to the live map instead of the sliding-window caps (the flat
+            # PCG path above pcg_min_cameras handles this scale; shapes are
+            # pow-2 bucketed by gather_window so jit reuse is bounded)
+            max_points = max(max_points, self.map.num_points)
+            max_obs = max(max_obs, self.map.num_observations)
+        gathered = self.map.gather_window(window, self.K, max_points, max_obs)
         if gathered is None:
             self.log.lba_skipped("No points in the local window.")
             return None

@@ -50,10 +50,16 @@ _FAST_CIRCLE = np.array(
 
 _PATCH_R = 15          # orientation disc radius
 _SAMPLE_R = 18         # max |rotated BRIEF offset| (pattern norm <= 13*sqrt(2))
-_PATCH = 2 * _SAMPLE_R + 1   # descriptor patch side (37)
+_PATCH = 2 * _SAMPLE_R + 1   # meaningful descriptor patch side (37)
+_GRID = 40             # physical patch side (rows/cols 37..39 unused; 40 is
+                       # what the Pallas DMA path produces — 8-aligned)
 _BORDER = 19           # detection border (sampling radius + 1)
 _NUM_PAIRS = 256
 _NBINS = 30            # rBRIEF steering quantization: 2*pi/30 = 12 degrees
+
+# toggle for the Pallas DMA patch-gather (ops/orb_pallas.py); module-level so
+# a host can fall back to the XLA slice-gather if Mosaic rejects the kernel
+USE_PALLAS_GATHER = True
 
 
 def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
@@ -264,7 +270,7 @@ def _detect_level(img_f32, threshold, budget, border=_BORDER):
 
 
 def _pattern_matrix() -> np.ndarray:
-    """(PATCH*PATCH, NBINS*256) ±1 descriptor-sampling matrix.
+    """(GRID*GRID, NBINS*256) ±1 descriptor-sampling matrix.
 
     The ORB paper's rBRIEF discretizes the steering rotation to 2π/30 (12°)
     increments and precomputes the rotated pattern per bin; this bakes that
@@ -275,7 +281,7 @@ def _pattern_matrix() -> np.ndarray:
     (so bit = I(p_a) < I(p_b), identical semantics to direct sampling; a pair
     whose endpoints round to the same cell yields 0 -> bit False, matching
     the strict '<')."""
-    D = np.zeros((_PATCH * _PATCH, _NBINS * _NUM_PAIRS), np.float32)
+    D = np.zeros((_GRID * _GRID, _NBINS * _NUM_PAIRS), np.float32)
     pat = _BRIEF_PATTERN.astype(np.float64)                 # (256, 2, 2) [x, y]
     px, py = pat[..., 0], pat[..., 1]                       # (256, 2)
     for q in range(_NBINS):
@@ -283,7 +289,7 @@ def _pattern_matrix() -> np.ndarray:
         c, s = np.cos(th), np.sin(th)
         ox = np.round(px * c - py * s).astype(np.int64)     # (256, 2)
         oy = np.round(px * s + py * c).astype(np.int64)
-        cell = (oy + _SAMPLE_R) * _PATCH + (ox + _SAMPLE_R)
+        cell = (oy + _SAMPLE_R) * _GRID + (ox + _SAMPLE_R)
         cols = q * _NUM_PAIRS + np.arange(_NUM_PAIRS)
         np.add.at(D, (cell[:, 1], cols), 1.0)
         np.add.at(D, (cell[:, 0], cols), -1.0)
@@ -293,23 +299,37 @@ def _pattern_matrix() -> np.ndarray:
 _PATTERN_MATRIX = _pattern_matrix()
 
 
+def _extract_patches(blurred, start_y, start_x):
+    """(B, 40, 40) f32 patches centered at 128.  On TPU: the Pallas DMA
+    gather kernel (ops/orb_pallas.py, ~6x the XLA slice-gather); elsewhere:
+    vmapped dynamic_slice (XLA lowers it to one gather of large contiguous
+    slices — still ~5x faster per element than per-sample element gathers)."""
+    if USE_PALLAS_GATHER and jax.default_backend() == "tpu":
+        from bundle_adjustment_tpu.ops import orb_pallas
+
+        return orb_pallas.gather_patches40(blurred, start_y, start_x)
+    H, W = blurred.shape
+    p = jnp.pad(blurred, ((0, _GRID - _PATCH), (0, _GRID - _PATCH)))
+
+    def one(sy, sx):
+        return jax.lax.dynamic_slice(p, (sy, sx), (_GRID, _GRID))
+
+    return jax.vmap(one)(start_y, start_x) - 128.0
+
+
 def _describe(blurred, yx, angle):
-    """Steered-BRIEF, TPU-native: extract one (37, 37) patch per keypoint
-    (a single XLA gather of large contiguous slices — ~5x faster than the
-    per-sample element gather, measured), then do all 256 pair comparisons
-    for the keypoint's 12° angle bin as one bf16 MXU matmul against the
-    precomputed ±1 pattern matrix.  Packs to (B, 8) u32."""
+    """Steered-BRIEF, TPU-native: extract one patch per keypoint (Pallas DMA
+    kernel / big-slice gather — see _extract_patches), then do all 256 pair
+    comparisons for the keypoint's 12° angle bin as one bf16 MXU matmul
+    against the precomputed ±1 pattern matrix.  Packs to (B, 8) u32."""
     H, W = blurred.shape
     start_y = jnp.clip(yx[:, 0] - _SAMPLE_R, 0, H - _PATCH)
     start_x = jnp.clip(yx[:, 1] - _SAMPLE_R, 0, W - _PATCH)
 
-    def one(sy, sx):
-        return jax.lax.dynamic_slice(blurred, (sy, sx), (_PATCH, _PATCH))
-
-    patches = jax.vmap(one)(start_y, start_x)               # (B, 37, 37)
-    # center at 128 so bf16 quantization error is ~0.25 intensity steps; the
-    # shift cancels exactly in every pair difference (columns sum to 0)
-    pm = (patches.reshape(-1, _PATCH * _PATCH) - 128.0).astype(jnp.bfloat16)
+    patches = _extract_patches(blurred, start_y, start_x)   # (B, 40, 40)
+    # centered at 128 so bf16 quantization error is ~0.25 intensity steps;
+    # the shift cancels exactly in every pair difference (columns sum to 0)
+    pm = patches.reshape(-1, _GRID * _GRID).astype(jnp.bfloat16)
     D = jnp.asarray(_PATTERN_MATRIX, jnp.bfloat16)
     vals = jax.lax.dot_general(
         pm, D, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

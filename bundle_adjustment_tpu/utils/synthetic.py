@@ -43,6 +43,32 @@ def _plane_corners_world(center, ex, ey, half):
     ])
 
 
+def _subdivide(tex, corners, n):
+    """Split a textured quad into an n x n grid of sub-quads (each with its
+    texture crop).  render_frame skips any quad with a corner behind the
+    camera; subdividing walls means only the sliver nearest the camera drops
+    out instead of the whole wall going blank — essential for closed-room
+    scenes where the camera walks along its own walls."""
+    out = []
+    c0, c1, c2, c3 = [np.asarray(c, float) for c in corners]
+    h, w = tex.shape[:2]
+    for i in range(n):        # texture y / ey direction
+        for j in range(n):    # texture x / ex direction
+            u0, u1 = j / n, (j + 1) / n
+            v0, v1 = i / n, (i + 1) / n
+
+            def P(u, v):
+                top = c0 * (1 - u) + c1 * u
+                bot = c3 * (1 - u) + c2 * u
+                return top * (1 - v) + bot * v
+
+            sub = tex[int(v0 * h):max(int(v1 * h), int(v0 * h) + 2),
+                      int(u0 * w):max(int(u1 * w), int(u0 * w) + 2)]
+            out.append((sub, np.stack([P(u0, v0), P(u1, v0),
+                                       P(u1, v1), P(u0, v1)])))
+    return out
+
+
 def _project(K, R, t, X):
     Xc = X @ R.T + t
     return (Xc[:, :2] / Xc[:, 2:]) @ np.diag([K[0, 0], K[1, 1]]) + [K[0, 2], K[1, 2]]
@@ -114,8 +140,9 @@ def synthetic_sequence(
             ([half, 0, 0], [0, 0, -1], [0, 1, 0]),     # right wall
             ([-half, 0, 0], [0, 0, 1], [0, 1, 0]),     # left wall
         ]:
-            walls.append((_texture(rng, size=768, blobs=900),
-                          _plane_corners_world(center, ex, ey, half)))
+            walls.extend(_subdivide(_texture(rng, size=768, blobs=900),
+                                    _plane_corners_world(center, ex, ey, half),
+                                    n=6))
         # occluders inside the room
         walls.append((_texture(rng, size=256, blobs=160),
                       _plane_corners_world([1.5, 0.3, 4.0], [1, 0, 0.2],

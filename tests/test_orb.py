@@ -114,3 +114,28 @@ def test_orientation_rotates_with_image():
     # under (x, y) -> (H-1-y, x), direction (dx, dy) -> (-dy, dx): angle +pi/2
     dang = (angr[j[near]] - ang[near] - np.pi / 2 + np.pi) % (2 * np.pi) - np.pi
     assert np.abs(np.median(dang)) < 0.1
+
+
+def test_pallas_patch_gather_interpret():
+    """The Pallas DMA patch-gather kernel (ops/orb_pallas.py) must agree with
+    the XLA slice-gather path exactly (integer-valued pixels are exact in the
+    kernel's bf16 selection passes).  Runs in Pallas interpret mode so it is
+    exercised on the CPU test mesh; the real-TPU equality is asserted by the
+    descriptor bit-parity check in bench/dev runs."""
+    import jax
+    import jax.lax
+
+    from bundle_adjustment_tpu.ops import orb_pallas
+
+    rng = np.random.default_rng(3)
+    H, W, B = 240, 320, 200
+    img = jnp.asarray(rng.integers(0, 256, size=(H, W)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, H - 37, B), jnp.int32)
+    sx = jnp.asarray(rng.integers(0, W - 37, B), jnp.int32)
+
+    out = orb_pallas.gather_patches40(img, sy, sx, interpret=True)
+    padded = jnp.pad(img, ((0, 48), (0, 256)))
+    ref = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (40, 40))
+    )(sy, sx) - 128.0
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
