@@ -52,25 +52,18 @@ class FrontendState(NamedTuple):
 
 
 class TrackResult(NamedTuple):
-    """Everything the host needs; scalars first (one tiny device_get), big
-    arrays pulled lazily and only on keyframe insertion."""
+    """Everything the host needs.  All per-frame scalars AND poses are packed
+    into ONE (34,) f32 vector so the tracked path costs exactly one device
+    transfer (on a remote-dispatch rig every separate device_get is a visible
+    round trip — pulling 10 scalars + 2 poses individually was ~5x the
+    latency of this single pull).  Big per-keypoint arrays stay on device and
+    are pulled only on keyframe insertion / fallback paths."""
 
-    # scalars
-    n_matches: jnp.ndarray        # ()
-    tracked_n: jnp.ndarray        # () matches backed by a map point
-    pnp_ok: jnp.ndarray           # () bool — enough points & finite pose
-    pnp_inliers: jnp.ndarray      # ()
-    num_inliers: jnp.ndarray      # () Sampson epipolar inliers
-    rot_mag: jnp.ndarray          # () |so3_log(R_rel)|
-    n_parallax: jnp.ndarray       # () tracked inlier count for the parallax gate
-    med_parallax_deg: jnp.ndarray  # () nan when empty
-    med_disp_px: jnp.ndarray      # () nan when empty
-    n_kp_valid: jnp.ndarray       # () current frame's keypoint count
-    # poses
-    R_pnp: jnp.ndarray            # (3, 3) world extrinsic of this frame
-    t_pnp: jnp.ndarray            # (3,)
-    R_rel: jnp.ndarray            # (3, 3)
-    t_rel: jnp.ndarray            # (3,)
+    # packed layout (34,) f32:
+    #   0 n_matches | 1 tracked_n | 2 pnp_ok | 3 pnp_inliers | 4 num_inliers
+    #   5 rot_mag | 6 n_parallax | 7 med_parallax_deg | 8 med_disp_px
+    #   9 n_kp_valid | 10:19 R_pnp | 19:22 t_pnp | 22:31 R_rel | 31:34 t_rel
+    packed: jnp.ndarray
     # per-keypoint arrays (stay on device until needed)
     kp_xy: jnp.ndarray            # (M, 2)
     kp_desc: jnp.ndarray          # (M, 8)
@@ -79,6 +72,39 @@ class TrackResult(NamedTuple):
     match_mask: jnp.ndarray       # (N,)
     match_dist: jnp.ndarray       # (N,)
     inliers: jnp.ndarray          # (N,)
+
+
+class TrackScalars(NamedTuple):
+    """Host-side unpacked view of TrackResult.packed."""
+
+    n_matches: int
+    tracked_n: int
+    pnp_ok: bool
+    pnp_inliers: int
+    num_inliers: int
+    rot_mag: float
+    n_parallax: int
+    med_parallax_deg: float
+    med_disp_px: float
+    n_kp_valid: int
+    R_pnp: "np.ndarray"
+    t_pnp: "np.ndarray"
+    R_rel: "np.ndarray"
+    t_rel: "np.ndarray"
+
+
+def unpack_scalars(packed) -> TrackScalars:
+    import numpy as np
+
+    v = np.asarray(packed, np.float64)
+    return TrackScalars(
+        n_matches=int(v[0]), tracked_n=int(v[1]), pnp_ok=bool(v[2] > 0.5),
+        pnp_inliers=int(v[3]), num_inliers=int(v[4]), rot_mag=float(v[5]),
+        n_parallax=int(v[6]), med_parallax_deg=float(v[7]),
+        med_disp_px=float(v[8]), n_kp_valid=int(v[9]),
+        R_pnp=v[10:19].reshape(3, 3), t_pnp=v[19:22],
+        R_rel=v[22:31].reshape(3, 3), t_rel=v[31:34],
+    )
 
 
 def _masked_median(values, mask):
@@ -162,21 +188,27 @@ def track_step(
     med_par = _masked_median(ang_deg, good)
     med_disp = _masked_median(jnp.linalg.norm(uv2 - uv1, axis=1), inl)
 
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        jnp.stack([
+            jnp.sum(mask).astype(f32),
+            tracked_n.astype(f32),
+            (res.ok & finite).astype(f32),
+            res.num_inliers.astype(f32),
+            num_inliers.astype(f32),
+            rot_mag.astype(f32),
+            jnp.sum(par_mask).astype(f32),
+            med_par.astype(f32),
+            med_disp.astype(f32),
+            jnp.sum(kp.valid).astype(f32),
+        ]),
+        R_pnp.reshape(-1).astype(f32),
+        t_pnp.astype(f32),
+        R_rel.reshape(-1).astype(f32),
+        t_rel.astype(f32),
+    ])
     return TrackResult(
-        n_matches=jnp.sum(mask),
-        tracked_n=tracked_n,
-        pnp_ok=res.ok & finite,
-        pnp_inliers=res.num_inliers,
-        num_inliers=num_inliers,
-        rot_mag=rot_mag,
-        n_parallax=jnp.sum(par_mask),
-        med_parallax_deg=med_par,
-        med_disp_px=med_disp,
-        n_kp_valid=jnp.sum(kp.valid),
-        R_pnp=R_pnp,
-        t_pnp=t_pnp,
-        R_rel=R_rel,
-        t_rel=t_rel,
+        packed=packed,
         kp_xy=kp.xy,
         kp_desc=kp.desc,
         kp_valid=kp.valid,

@@ -219,6 +219,58 @@ class Map:
         m = (self._obs_mp[: self._n_obs] == mp_id) & self._obs_alive[: self._n_obs]
         return self._obs_kf[: self._n_obs][m], self._obs_kp[: self._n_obs][m]
 
+    def first_observer_per_point(self) -> np.ndarray:
+        """Per-point id of the FIRST observing keyframe (int64; max-int for
+        points with no live observation).  Used by loop closure to assign
+        each point the drift correction of the keyframe that anchored it."""
+        first = np.full(self._n_pts, np.iinfo(np.int64).max, np.int64)
+        alive = self._obs_alive[: self._n_obs]
+        np.minimum.at(first, self._obs_mp[: self._n_obs][alive],
+                      self._obs_kf[: self._n_obs][alive])
+        return first
+
+    def anchor_observations(self, max_first_kf: int):
+        """(mp_ids, kf_ids, kp_idxs) of each live point's FIRST observation,
+        restricted to points first observed at or before ``max_first_kf``.
+        This is the loop-closure descriptor bank: ONE descriptor per map
+        point — a stacked multi-view bank would contain near-identical
+        descriptors of the same physical point in adjacent keyframes, and
+        Lowe's ratio test kills every such self-duplicate match."""
+        first = self.first_observer_per_point()
+        alive_rows = self._obs_alive[: self._n_obs]
+        okf = self._obs_kf[: self._n_obs][alive_rows]
+        omp = self._obs_mp[: self._n_obs][alive_rows]
+        okp = self._obs_kp[: self._n_obs][alive_rows]
+        sel = (first[omp] == okf) & (okf <= max_first_kf) & self._pt_alive[omp]
+        mp, kf, kp = omp[sel], okf[sel], okp[sel]
+        _, f = np.unique(mp, return_index=True)
+        return mp[f], kf[f], kp[f]
+
+    def merge_points(self, dst_mp: int, src_mp: int) -> int:
+        """Fuse two map points that turned out to be the same physical point
+        (loop closure): every observation of ``src_mp`` is redirected to
+        ``dst_mp`` and ``src_mp`` dies.  A keyframe that already observes
+        ``dst_mp`` keeps its existing observation (one observation per
+        keyframe-point pair; one map point per keypoint).  Implemented as
+        kill + re-add so the native obs-table mirror stays in sync through
+        its existing append/kill API.  Returns the redirect count."""
+        m = (self._obs_mp[: self._n_obs] == src_mp) & \
+            self._obs_alive[: self._n_obs]
+        kfs = self._obs_kf[: self._n_obs][m].copy()
+        kps = self._obs_kp[: self._n_obs][m].copy()
+        uvs = self._obs_uv[: self._n_obs][m].copy()
+        dst_kfs = set(int(k) for k in self.observations_of_point(dst_mp)[0])
+        self.cull_points(np.asarray([src_mp]))
+        n = 0
+        for kf, kp, uv in zip(kfs, kps, uvs):
+            if int(kf) in dst_kfs:
+                continue
+            self.add_observations(int(kf), np.asarray([dst_mp]),
+                                  np.asarray([kp]), uv[None])
+            dst_kfs.add(int(kf))
+            n += 1
+        return n
+
     def observation_count_per_point(self) -> np.ndarray:
         counts = np.zeros(self._n_pts, np.int64)
         alive = self._obs_alive[: self._n_obs]

