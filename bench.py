@@ -154,6 +154,81 @@ def lm_iteration_flops(grid, n_fixed=1):
     return float(ca.get("flops", 0.0))
 
 
+def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
+    """Reference-scale GLOBAL BA problem: a long camera chain with
+    band-diagonal visibility (each point seen by ~4 consecutive cameras),
+    the structure the matrix-free PCG camera solve exists for (the dense
+    (6C)^2 solve and the (P, C', 6, 3) coupling tensor both stop scaling
+    around here; see ops/ba._solve_normal_equations)."""
+    from bundle_adjustment_tpu.ops import ba
+    from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+    c_ids = np.arange(C)
+    rvecs = np.stack([0.10 * np.sin(c_ids / 10), 0.10 * np.cos(c_ids / 13),
+                      0.05 * np.sin(c_ids / 7)], axis=1)
+    tvecs = np.stack([0.3 * c_ids, 0.05 * np.sin(c_ids / 5),
+                      0.02 * c_ids], axis=1)
+    Rs = np.stack([so3_exp_np(r) for r in rvecs])
+
+    base = (np.arange(P) * max(C - obs_per_pt, 1) // P).astype(np.int32)
+    X = tvecs[base] * np.array([1.0, 1.0, 0.0]) + rng.uniform(
+        [-4, -4, 4], [4, 4, 16], size=(P, 3))
+
+    cam_idx = (base[:, None] + np.arange(obs_per_pt)[None, :]).reshape(-1)
+    cam_idx = np.minimum(cam_idx, C - 1).astype(np.int32)
+    pnt_idx = np.repeat(np.arange(P, dtype=np.int32), obs_per_pt)
+    Xc = np.einsum("oij,oj->oi", Rs[cam_idx], X[pnt_idx]) + tvecs[cam_idx]
+    uv = (Xc[:, :2] / Xc[:, 2:]) * [_K[0, 0], _K[1, 1]] + [_K[0, 2], _K[1, 2]]
+    uv += rng.normal(size=uv.shape) * 0.5
+    valid = Xc[:, 2] > 0.5
+
+    rv_p = rvecs + rng.normal(size=rvecs.shape) * 0.005 * (np.arange(C)[:, None] > 0)
+    tv_p = tvecs + rng.normal(size=tvecs.shape) * 0.02 * (np.arange(C)[:, None] > 0)
+    return ba.BAProblem(
+        rvecs=jnp.asarray(rv_p, jnp.float32),
+        tvecs=jnp.asarray(tv_p, jnp.float32),
+        points=jnp.asarray(X + rng.normal(size=X.shape) * 0.02, jnp.float32),
+        cam_idx=jnp.asarray(cam_idx),
+        pnt_idx=jnp.asarray(pnt_idx),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_mask=jnp.asarray(valid, jnp.float32),
+        point_mask=jnp.ones(P, bool),
+        K=jnp.asarray(_K, jnp.float32),
+    )
+
+
+def bench_global_ba(repeats=3):
+    """Marginal it/s of the matrix-free PCG flat-path solver at global scale
+    (C=200 cameras, 30k points, 120k observations)."""
+    from bundle_adjustment_tpu.ops import ba
+
+    rng = np.random.default_rng(11)
+    prob = make_global_problem(rng)
+
+    def run(iters):
+        out = ba.ba_solve(prob, n_fixed=1, max_iterations=iters, ftol=0.0,
+                          xtol=0.0, lambda_max=1e30, cg_iters=100,
+                          cg_tol=1e-6)
+        stats = jax.device_get(out[3])
+        return stats
+
+    def best_of(iters):
+        run(iters)
+        best = float("inf")
+        st = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            st = run(iters)
+            best = min(best, time.perf_counter() - t0)
+        return best, int(st.iterations), st
+
+    d1, i1, _ = best_of(1)
+    dK, iK, stats = best_of(26)
+    per_iter = (dK - d1) / max(iK - i1, 1)
+    return (1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq),
+            prob)
+
+
 def device_peak_flops():
     """Nominal bf16 matmul peak of the attached device (for MFU context)."""
     kind = jax.devices()[0].device_kind.lower()
@@ -317,8 +392,12 @@ def main():
 
     match_s, match_flops_s = bench_matcher()
     orb_s = bench_orb()
+    try:
+        g_its, g_init, g_final, _ = bench_global_ba()
+    except Exception as e:  # global-scale BA is auxiliary; never fail bench
+        g_its, g_init, g_final = f"error: {e}", None, None
 
-    fps = None
+    fps, tracked_ms = None, None
     if "--no-fps" not in sys.argv:
         try:
             sys.path.insert(0, os.path.join(
@@ -328,8 +407,11 @@ def main():
             from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
 
             frames, Kc, _, _ = synthetic_sequence(n_frames=16, motion="strafe")
-            fps, _, _ = run_mode(frames, Kc, True, warmup=5,
-                                 use_pallas=jax.default_backend() == "tpu")
+            fps, tracked_ms, _, _ = run_mode(
+                frames, Kc, True, warmup=5,
+                use_pallas=jax.default_backend() == "tpu")
+            if tracked_ms != tracked_ms:  # no tracked frames -> nan
+                tracked_ms = None
         except Exception as e:  # fps is auxiliary; never fail the bench
             fps = f"error: {e}"
 
@@ -352,8 +434,16 @@ def main():
         "matcher_tflops_equiv": round(match_flops_s / 1e12, 2),
         "matcher_mfu_pct_bf16peak": round(100 * match_flops_s / peak, 2),
         "orb_ms_per_frame_720p": round(orb_s * 1e3, 3),
+        "ba_global_iters_per_s": (round(g_its, 2)
+                                  if isinstance(g_its, float) else g_its),
+        "ba_global_problem": "C=200, P=30000, O=120000, PCG camera solve",
+        "ba_global_cost_reduction": (round(g_init / max(g_final, 1e-9), 1)
+                                     if g_final else None),
         "frontend_fps_tracked": (round(fps, 3)
                                  if isinstance(fps, float) else fps),
+        "frontend_tracked_ms": (round(tracked_ms, 1)
+                                if isinstance(tracked_ms, float) else
+                                tracked_ms),
         "device_peak_bf16_tflops": peak / 1e12,
         "backend": jax.default_backend(),
     }))
