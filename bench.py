@@ -198,35 +198,49 @@ def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
 
 
 def bench_global_ba(repeats=3):
-    """Marginal it/s of the matrix-free PCG flat-path solver at global scale
-    (C=200 cameras, 30k points, 120k observations)."""
-    from bundle_adjustment_tpu.ops import ba
+    """Marginal it/s at global scale (C=200 cameras, 30k points, 120k
+    observations), for BOTH matrix-free PCG camera solvers: the scatter-free
+    GRID layout (ops/ba_grid._solve_step_pcg — the pipeline's global-BA path,
+    with Eisenstat-Walker forcing) and the flat segment-sum path (the
+    sharded/distributed layout).  Headline = grid."""
+    from bundle_adjustment_tpu.ops import ba, ba_grid
 
     rng = np.random.default_rng(11)
     prob = make_global_problem(rng)
+    grid = ba_grid.from_flat(prob)
 
-    def run(iters):
+    def measure(run):
+        def best_of(iters):
+            run(iters)
+            best = float("inf")
+            st = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                st = run(iters)
+                best = min(best, time.perf_counter() - t0)
+            return best, int(st.iterations), st
+
+        d1, i1, _ = best_of(1)
+        dK, iK, stats = best_of(26)
+        per_iter = (dK - d1) / max(iK - i1, 1)
+        return 1.0 / per_iter, stats
+
+    def run_grid(iters):
+        out = ba_grid.ba_solve_grid(
+            grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+            lambda_max=1e30, cg_iters=100, cg_tol=1e-6, cg_forcing=True)
+        return jax.device_get(out[3])
+
+    def run_flat(iters):
         out = ba.ba_solve(prob, n_fixed=1, max_iterations=iters, ftol=0.0,
                           xtol=0.0, lambda_max=1e30, cg_iters=100,
                           cg_tol=1e-6)
-        stats = jax.device_get(out[3])
-        return stats
+        return jax.device_get(out[3])
 
-    def best_of(iters):
-        run(iters)
-        best = float("inf")
-        st = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            st = run(iters)
-            best = min(best, time.perf_counter() - t0)
-        return best, int(st.iterations), st
-
-    d1, i1, _ = best_of(1)
-    dK, iK, stats = best_of(26)
-    per_iter = (dK - d1) / max(iK - i1, 1)
-    return (1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq),
-            prob)
+    grid_its, g_stats = measure(run_grid)
+    flat_its, _ = measure(run_flat)
+    return (grid_its, float(g_stats.initial_sq), float(g_stats.final_sq),
+            flat_its)
 
 
 def device_peak_flops():
@@ -393,9 +407,9 @@ def main():
     match_s, match_flops_s = bench_matcher()
     orb_s = bench_orb()
     try:
-        g_its, g_init, g_final, _ = bench_global_ba()
+        g_its, g_init, g_final, g_flat_its = bench_global_ba()
     except Exception as e:  # global-scale BA is auxiliary; never fail bench
-        g_its, g_init, g_final = f"error: {e}", None, None
+        g_its, g_init, g_final, g_flat_its = f"error: {e}", None, None, None
 
     fps, tracked_ms = None, None
     if "--no-fps" not in sys.argv:
@@ -436,7 +450,10 @@ def main():
         "orb_ms_per_frame_720p": round(orb_s * 1e3, 3),
         "ba_global_iters_per_s": (round(g_its, 2)
                                   if isinstance(g_its, float) else g_its),
-        "ba_global_problem": "C=200, P=30000, O=120000, PCG camera solve",
+        "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
+                                       if isinstance(g_flat_its, float)
+                                       else g_flat_its),
+        "ba_global_problem": "C=200, P=30000, O=120000, grid PCG camera solve",
         "ba_global_cost_reduction": (round(g_init / max(g_final, 1e-9), 1)
                                      if g_final else None),
         "frontend_fps_tracked": (round(fps, 3)

@@ -943,9 +943,24 @@ class VisualOdometryPipeline:
             P_s = -(-P_tot // n_pt)
             pts = jnp.asarray(np.asarray(pts_sh)[: n_pt * P_s].reshape(-1, 3)[:P_tot])
         elif "cg_iters" in solver_kwargs:
-            # large-window PCG path (flat observation table; the grid layout's
-            # per-point slot axis would be mostly padding at this scale)
-            rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
+            # large-window PCG path.  Preferred layout: the scatter-free grid
+            # (ops/ba_grid._solve_step_pcg — point sums are axis reductions,
+            # the camera reduction is one MXU matmul against a (C', P*D)
+            # one-hot).  The one-hot is the memory cost: fall back to the
+            # flat segment-sum path when it would exceed ~2 GB.
+            from bundle_adjustment_tpu.ops import ba_grid
+
+            grid = ba_grid.from_flat(problem, on_drop=lambda n: self.log.emit(
+                "capacity_drop",
+                f"    -> Grid layout dropped {n} observations (max_slots cap)",
+                dropped_obs=int(n)))
+            P_g, D_g = grid.cam_slot.shape
+            onehot_bytes = 4 * P_g * D_g * max(len(window) - n_fixed, 1)
+            if onehot_bytes <= 2 << 30:
+                rv, tv, pts, stats = ba_grid.ba_solve_grid(
+                    grid, cg_forcing=True, **solver_kwargs)
+            else:
+                rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
         else:
             # single-device fast path: the scatter-free observation-grid
             # solver (ops/ba_grid.py), upgraded to the fused Pallas LM kernel

@@ -187,6 +187,88 @@ def _solve_step(rvecs, tvecs, points, p: BAProblemGrid, lam, delta, n_fixed,
     return d_r, d_t, dp
 
 
+def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
+                    n_fixed, onehot_T, cg_iters, cg_tol):
+    """One damped Schur step on the grid layout with a MATRIX-FREE PCG camera
+    solve — the global-scale path (C in the hundreds) where the dense step's
+    (P, C', 6, 3) coupling tensor and (6C')² system stop scaling.
+
+    Scatter-free by construction: every point-side reduction is an axis sum
+    over the D slot dimension, and the single camera-side reduction per PCG
+    matvec is ONE MXU matmul against ``onehot_T`` (C_adj, P*D) — TPU scatters
+    (segment_sum) are what made the flat PCG path ~75 ms/LM-iteration slower
+    at this scale.  ``cg_tol`` may be a traced scalar (Eisenstat-Walker
+    forcing feeds a per-LM-iteration tolerance)."""
+    C = rvecs.shape[0]
+    C_adj = max(C - n_fixed, 1)
+    P, D = p.cam_slot.shape
+
+    r, Jc, Jp = _grid_terms(rvecs, tvecs, points, p)
+    a = jnp.abs(r)
+    w = jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12)) \
+        * p.mask[..., None]
+
+    cam_ok = (p.cam_slot >= n_fixed).astype(r.dtype)[..., None, None]
+    Jc = Jc * cam_ok
+    Jc_w = Jc * w[..., None]
+    Jp_w = Jp * w[..., None]
+
+    def cam_reduce(rows):
+        """(P, D, ...) observation rows -> (C_adj, ...) via one MXU matmul."""
+        flat = rows.reshape(P * D, -1)
+        return (onehot_T @ flat).reshape((C_adj,) + rows.shape[2:])
+
+    U = cam_reduce(jnp.einsum("pdki,pdkj->pdij", Jc_w, Jc,
+                              precision=_HIGHEST))              # (C', 6, 6)
+    g_c = cam_reduce(jnp.einsum("pdki,pdk->pdi", Jc_w, r,
+                                precision=_HIGHEST))            # (C', 6)
+    V = jnp.einsum("pdki,pdkj->pij", Jp_w, Jp, precision=_HIGHEST)
+    g_p = jnp.einsum("pdki,pdk->pi", Jp_w, r, precision=_HIGHEST)
+    Y = jnp.einsum("pdki,pdkj->pdij", Jc_w, Jp, precision=_HIGHEST)  # (P,D,6,3)
+
+    eyec = jnp.eye(6, dtype=U.dtype)
+    eyep = jnp.eye(3, dtype=V.dtype)
+    U = U + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
+    V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V))) + 1e-6 * eyep)
+    Vinv = ba_flat._inv3(V)
+    Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
+
+    # rhs b = -g_c + W V^-1 g_p
+    z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)
+    Wz = cam_reduce(jnp.einsum("pdij,pj->pdi", Y, z_p, precision=_HIGHEST))
+    b = -g_c + Wz                                               # (C', 6)
+
+    pad = jnp.zeros((n_fixed, 6), U.dtype)
+
+    def matvec(x):
+        xs = jnp.concatenate([pad, x], axis=0)[p.cam_slot]      # (P, D, 6)
+        y = jnp.einsum("pdij,pdi->pdj", Y, xs, precision=_HIGHEST)
+        q = jnp.sum(y, axis=1)                                  # (P, 3)
+        z = jnp.einsum("pij,pj->pi", Vinv, q, precision=_HIGHEST)
+        w2 = jnp.einsum("pdij,pj->pdi", Y, z, precision=_HIGHEST)
+        WVWx = cam_reduce(w2)
+        Ux = jnp.einsum("cij,cj->ci", U, x, precision=_HIGHEST)
+        return Ux - WVWx
+
+    # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S (exact
+    # because one (camera, point) pair has at most one observation slot)
+    D_o = jnp.einsum("pdij,pjk,pdlk->pdil", Y, Vinv, Y, precision=_HIGHEST)
+    Dred = cam_reduce(D_o)
+    Minv = jnp.linalg.inv(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
+
+    dc_blocks = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, cg_tol)
+
+    # back-substitute points: dp = V^-1 (-g_p - W^T dc)
+    dcs = jnp.concatenate([pad, dc_blocks], axis=0)[p.cam_slot]  # (P, D, 6)
+    Wt = jnp.sum(jnp.einsum("pdij,pdi->pdj", Y, dcs, precision=_HIGHEST),
+                 axis=1)                                         # (P, 3)
+    dp = jnp.einsum("pij,pj->pi", Vinv, -g_p - Wt, precision=_HIGHEST)
+
+    d_r = jnp.zeros_like(rvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, :3])
+    d_t = jnp.zeros_like(tvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, 3:])
+    return d_r, d_t, dp, jnp.sqrt(jnp.sum(b * b))
+
+
 def ba_solve_grid_impl(
     problem: BAProblemGrid,
     n_fixed: int = 1,
@@ -199,8 +281,19 @@ def ba_solve_grid_impl(
     lambda_max: float = 1e8,
     ftol: float = 1e-5,
     xtol: float = 1e-5,
+    cg_iters: int = 0,
+    cg_tol: float = 1e-6,
+    cg_forcing: bool = True,
 ):
-    """LM loop identical in semantics to ops/ba.ba_solve, on the grid layout."""
+    """LM loop identical in semantics to ops/ba.ba_solve, on the grid layout.
+
+    ``cg_iters`` = 0 (default): dense camera-system solve — the window-scale
+    fast path.  ``cg_iters`` > 0: matrix-free block-Jacobi PCG camera solve
+    (global-scale; see _solve_step_pcg).  With ``cg_forcing`` the PCG
+    tolerance follows an Eisenstat-Walker forcing sequence
+    tol_k = clip(sqrt(|b_k| / |b_0|), cg_tol, 0.1): early LM iterations solve
+    the camera system loosely (a handful of CG steps), tightening as the
+    gradient shrinks — LM accept/reject guards the inexact steps."""
     p = problem._replace(mask=problem.mask.astype(problem.uv.dtype))
     C = p.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
@@ -222,13 +315,34 @@ def ba_solve_grid_impl(
     init_cost = cost_at(p.rvecs, p.tvecs, p.points)
     init_sq = sq_at(p.rvecs, p.tvecs, p.points)
 
+    if cg_iters > 0:
+        onehot_T = onehot.reshape(-1, C_adj).T          # (C_adj, P*D)
+
     def cond(s):
         return (~s[6]) & (s[5] < max_iterations)
 
     def body(s):
-        rv, tv, pt, lam, cost, it, done = s
-        d_r, d_t, d_p = _solve_step(rv, tv, pt, p, lam, huber_delta, n_fixed,
-                                    onehot)
+        rv, tv, pt, lam, cost, it, done, b0, blast = s
+        if cg_iters > 0:
+            if cg_forcing:
+                # Eisenstat-Walker: tol_k from the PREVIOUS step's gradient
+                # norm (b0 < 0 marks the first iteration -> loose 0.1)
+                tol = jnp.where(
+                    b0 > 0.0,
+                    jnp.clip(jnp.sqrt(blast / jnp.maximum(b0, 1e-30)),
+                             cg_tol, 0.1),
+                    0.1,
+                ).astype(p.uv.dtype)
+            else:
+                tol = jnp.asarray(cg_tol, p.uv.dtype)
+            d_r, d_t, d_p, bnorm = _solve_step_pcg(
+                rv, tv, pt, p, lam, huber_delta, n_fixed, onehot_T, cg_iters,
+                tol)
+            b0 = jnp.where(b0 > 0.0, b0, bnorm)
+            blast = bnorm
+        else:
+            d_r, d_t, d_p = _solve_step(rv, tv, pt, p, lam, huber_delta,
+                                        n_fixed, onehot)
         rv2, tv2, pt2 = rv + d_r, tv + d_t, pt + d_p
         new_cost = cost_at(rv2, tv2, pt2)
         accept = new_cost < cost
@@ -247,11 +361,13 @@ def ba_solve_grid_impl(
         lam = jnp.where(accept, jnp.maximum(lam * lambda_down, lambda_min),
                         jnp.minimum(lam * lambda_up, lambda_max))
         stuck = (~accept) & (lam >= lambda_max)
-        return (rv, tv, pt, lam, cost, it + 1, converged | stuck)
+        return (rv, tv, pt, lam, cost, it + 1, converged | stuck, b0, blast)
 
     lam0 = jnp.asarray(lambda_init, p.uv.dtype)
-    rv, tv, pt, lam, cost, it, _ = jax.lax.while_loop(
-        cond, body, (p.rvecs, p.tvecs, p.points, lam0, init_cost, 0, False)
+    neg1 = jnp.asarray(-1.0, p.uv.dtype)
+    rv, tv, pt, lam, cost, it, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (p.rvecs, p.tvecs, p.points, lam0, init_cost, 0, False, neg1, neg1),
     )
     stats = ba_flat.BAStats(
         initial_cost=init_cost, final_cost=cost,
@@ -262,5 +378,5 @@ def ba_solve_grid_impl(
 
 
 ba_solve_grid = jax.jit(
-    ba_solve_grid_impl, static_argnames=("n_fixed",),
+    ba_solve_grid_impl, static_argnames=("n_fixed", "cg_iters", "cg_forcing"),
 )

@@ -23,8 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bundle_adjustment_tpu.ops.hamming import INVALID_DIST, unpack_bits
 
-_TM = 128  # query rows per grid step
-_TN = 128  # train columns per inner tile
+_TM = 256   # query rows per grid step
+_TN = 2048  # train columns per inner tile
+# Tile sizing (v5e): the (TM, 256)x(256, TN) bf16 dot is the whole cost —
+# at 128x128 tiles the kernel issued 1024 4-MFLOP dots and ran issue-bound
+# (0.36 ms, 12% MXU); at 256x2048 it issues 32 268-MFLOP dots.  VMEM at
+# N2=4096: b2t 2 MB + D tile 2 MB + carries, well under the ~16 MB budget.
 
 
 def _knn2_kernel(b1_ref, b2t_ref, pop1_ref, pop2_ref, valid2_ref,

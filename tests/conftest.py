@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persist compiles across runs (same cache bench.py uses; .gitignored) —
+# the suite is compile-dominated on this 2-core host
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -124,6 +124,46 @@ def test_pcg_global_ba_200_keyframes(rng):
         rel_err(np.asarray(prob.tvecs)), rel_err(tv))
 
 
+def test_grid_pcg_matches_dense_window(rng):
+    """The scatter-free grid-layout PCG (the pipeline's global-BA path) must
+    land on the dense grid solver's optimum at window scale."""
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    prob, _ = make_problem(rng, n_cams=5, n_pts=80, noise=0.2, perturb=0.05)
+    grid = ba_grid.from_flat(prob)
+    rvd, tvd, ptd, sd = ba_grid.ba_solve_grid(grid, n_fixed=1,
+                                              max_iterations=30)
+    rvp, tvp, ptp, sp = ba_grid.ba_solve_grid(
+        grid, n_fixed=1, max_iterations=30, cg_iters=200, cg_tol=1e-8,
+        cg_forcing=False)
+    assert float(sp.final_cost) <= 1.02 * float(sd.final_cost)
+    np.testing.assert_allclose(np.asarray(rvp), np.asarray(rvd), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tvp), np.asarray(tvd), atol=2e-3)
+
+
+def test_grid_pcg_forcing_converges_chain(rng):
+    """Eisenstat-Walker forcing (loose early CG tolerances) must reach the
+    same optimum as the fixed-tolerance grid PCG on a 60-keyframe chain,
+    and must match the flat PCG solver (different layout, same math)."""
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    prob, (rv_gt, tv_gt, X) = make_chain_problem(
+        np.random.default_rng(5), n_cams=60)
+    grid = ba_grid.from_flat(prob)
+    rvf, tvf, ptf, sf = ba.ba_solve(prob, n_fixed=2, max_iterations=15,
+                                    cg_iters=100, cg_tol=1e-6)
+    rvg, tvg, ptg, sg = ba_grid.ba_solve_grid(
+        grid, n_fixed=2, max_iterations=15, cg_iters=100, cg_tol=1e-6,
+        cg_forcing=True)
+    assert float(sg.final_sq) <= 1.05 * float(sf.final_sq), (
+        float(sg.final_sq), float(sf.final_sq))
+    # both recover the chain's relative poses
+    def rel_err(tvs):
+        d = np.diff(np.asarray(tvs), axis=0) - np.diff(tv_gt, axis=0)
+        return np.linalg.norm(d, axis=1).mean()
+    assert rel_err(tvg) < 0.33 * rel_err(np.asarray(prob.tvecs))
+
+
 def test_pcg_sharded_matches_single(rng):
     """PCG inside shard_map: the per-CG-iteration psum keeps every shard's
     camera update identical."""

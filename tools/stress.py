@@ -92,6 +92,7 @@ def main(argv=None):
                    if e["event"] == "relocalization" and e.get("success"))
     reloc_fail = sum(1 for e in events
                      if e["event"] == "relocalization" and not e.get("success"))
+    closures = [e for e in events if e["event"] == "loop_closure"]
 
     # ATE: match keyframe trajectory rows to GT by source frame index
     est, gt = [], []
@@ -122,6 +123,8 @@ def main(argv=None):
         "divergences": count("ba_diverged"),
         "reloc_success": int(reloc_ok),
         "reloc_fail": int(reloc_fail),
+        "loop_closures": len(closures),
+        "loop_fused_points": int(sum(e.get("fused", 0) for e in closures)),
         "frames_discarded": count("frame_discarded"),
         "ate_rmse": round(float(ate), 4),
         "ate_pct_of_path": round(100.0 * float(ate) / max(path_len, 1e-9), 3),
