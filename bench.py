@@ -228,12 +228,12 @@ def bench_global_ba(repeats=3):
     def run_grid(iters):
         out = ba_grid.ba_solve_grid(
             grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-            lambda_max=1e30, cg_iters=100, cg_tol=1e-6, cg_forcing=True)
+            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True)
         return jax.device_get(out[3])
 
     def run_flat(iters):
         out = ba.ba_solve(prob, n_fixed=1, max_iterations=iters, ftol=0.0,
-                          xtol=0.0, lambda_max=1e30, cg_iters=100,
+                          xtol=0.0, lambda_max=1e30, cg_iters=32,
                           cg_tol=1e-6)
         return jax.device_get(out[3])
 

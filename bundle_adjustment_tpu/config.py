@@ -79,7 +79,13 @@ class BAConfig:
     # dense (6C')^2 solve — global BA over hundreds of keyframes stays
     # O(cg_iters * observations) in time and O(observations) in memory.
     pcg_min_cameras: int = 24
-    cg_iters: int = 200           # PCG iteration cap (early exit on cg_tol)
+    # PCG iteration cap (early exit on cg_tol).  Measured on TPU v5e at
+    # C=200/P=30k/O=120k (band visibility): cap 100 costs 35 ms/LM-iter for
+    # final_sq 42.5k, cap 30 costs 22.7 ms for 44.0k, cap 10 costs 18.5 ms
+    # for 43.6k — LM accept/reject absorbs the inexact steps, so a tight cap
+    # buys ~1.6x wall-clock for <3% cost.  Eisenstat-Walker forcing keeps
+    # early iterations far below the cap either way.
+    cg_iters: int = 32
     cg_tol: float = 1e-6          # relative-residual stop
     # Window-scale solver: the fused Pallas LM kernel (ops/ba_pallas.py) runs
     # the whole solve in one TPU kernel dispatch (~8 us/LM iteration on v5e,

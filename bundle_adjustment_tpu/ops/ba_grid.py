@@ -34,6 +34,54 @@ from bundle_adjustment_tpu.ops.lie import so3_exp
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+# ---------------------------------------------------------------------------
+# Batched tiny-matrix algebra as VPU elementwise ops.
+#
+# einsum/dot_general on (P*D)-batched 6x3-class matrices lowers to batched
+# MXU dot_generals whose tiles are ~95% padding; measured on TPU v5e at
+# global scale (C=200, P=30k, D=4) the einsum formulation costs 6.2 ms
+# (setup) + 4.4 ms (preconditioner) per LM iteration.  Expressing the same
+# contractions as broadcast-multiply + axis-sum keeps them on the VPU where
+# XLA fuses the whole chain into a few passes over the (P, D) grid.
+# ---------------------------------------------------------------------------
+
+def _mv(A, x):
+    """(..., i, j) @ (..., j) -> (..., i) as multiply + sum."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def _mm(a, b):
+    """(..., i, k) @ (..., k, j) -> (..., i, j) as multiply + sum."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _jtj(a, b, w):
+    """sum_k w[..., k] * a[..., k, i] * b[..., k, j] -> (..., i, j)."""
+    aw = a * w[..., None]
+    return jnp.sum(aw[..., :, :, None] * b[..., :, None, :], axis=-3)
+
+
+def _inv6(M):
+    """Batched 6x6 inverse via 3x3-block Schur elimination (adjugate 3x3
+    inverses, ba._inv3).  M is the damped block-Jacobi diagonal of the Schur
+    complement — SPD by construction — so the A block is invertible."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    Cb = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ainv = ba_flat._inv3(A)
+    AinvB = _mm(Ainv, B)
+    Sinv = ba_flat._inv3(D - _mm(Cb, AinvB))
+    CAinv = _mm(Cb, Ainv)
+    SinvCAinv = _mm(Sinv, CAinv)
+    tl = Ainv + _mm(AinvB, SinvCAinv)
+    tr = -_mm(AinvB, Sinv)
+    bl = -SinvCAinv
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 class BAProblemGrid(NamedTuple):
     rvecs: jnp.ndarray      # (C, 3)
     tvecs: jnp.ndarray      # (C, 3)
@@ -107,8 +155,7 @@ def _grid_terms(rvecs, tvecs, points, p: BAProblemGrid):
     Rg = Rs[p.cam_slot]                              # (P, D, 3, 3)
     tg = tvecs[p.cam_slot]                           # (P, D, 3)
     X = points[:, None, :]                           # (P, 1, 3)
-    Xc = jnp.einsum("pdij,pdj->pdi", Rg, jnp.broadcast_to(X, Rg.shape[:2] + (3,)),
-                    precision=_HIGHEST) + tg
+    Xc = _mv(Rg, jnp.broadcast_to(X, Rg.shape[:2] + (3,))) + tg
     z = Xc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     inv_z = 1.0 / z_safe
@@ -126,10 +173,13 @@ def _grid_terms(rvecs, tvecs, points, p: BAProblemGrid):
         axis=-2,
     )                                                 # (P, D, 2, 3)
     J_t = duv_dXc
-    J_X = jnp.einsum("pdki,pdij->pdkj", duv_dXc, Rg, precision=_HIGHEST)
-    dXc_dr = jnp.einsum("pdijr,pj->pdir", dRdr[p.cam_slot], points,
-                        precision=_HIGHEST)           # (P, D, 3, 3)
-    J_r = jnp.einsum("pdki,pdir->pdkr", duv_dXc, dXc_dr, precision=_HIGHEST)
+    # "pdki,pdij->pdkj": sum_i duv[..., k, i] Rg[..., i, j]
+    J_X = jnp.sum(duv_dXc[..., :, :, None] * Rg[..., None, :, :], axis=-2)
+    # "pdijr,pj->pdir": sum_j dRdr[..., i, j, r] X[p, j]
+    dXc_dr = jnp.sum(dRdr[p.cam_slot] * points[:, None, None, :, None],
+                     axis=-2)                         # (P, D, 3, 3)
+    # "pdki,pdir->pdkr": sum_i duv[..., k, i] dXc_dr[..., i, r]
+    J_r = jnp.sum(duv_dXc[..., :, :, None] * dXc_dr[..., None, :, :], axis=-2)
     Jc = jnp.concatenate([J_r, J_t], axis=-1)         # (P, D, 2, 6)
     return r, Jc, J_X
 
@@ -218,13 +268,11 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
         flat = rows.reshape(P * D, -1)
         return (onehot_T @ flat).reshape((C_adj,) + rows.shape[2:])
 
-    U = cam_reduce(jnp.einsum("pdki,pdkj->pdij", Jc_w, Jc,
-                              precision=_HIGHEST))              # (C', 6, 6)
-    g_c = cam_reduce(jnp.einsum("pdki,pdk->pdi", Jc_w, r,
-                                precision=_HIGHEST))            # (C', 6)
-    V = jnp.einsum("pdki,pdkj->pij", Jp_w, Jp, precision=_HIGHEST)
-    g_p = jnp.einsum("pdki,pdk->pi", Jp_w, r, precision=_HIGHEST)
-    Y = jnp.einsum("pdki,pdkj->pdij", Jc_w, Jp, precision=_HIGHEST)  # (P,D,6,3)
+    U = cam_reduce(_jtj(Jc, Jc, w))                             # (C', 6, 6)
+    g_c = cam_reduce(jnp.sum(Jc_w * r[..., None], axis=-2))     # (C', 6)
+    V = jnp.sum(_jtj(Jp, Jp, w), axis=1)                        # (P, 3, 3)
+    g_p = jnp.sum(Jp_w * r[..., None], axis=(1, 2))             # (P, 3)
+    Y = _jtj(Jc, Jp, w)                                         # (P, D, 6, 3)
 
     eyec = jnp.eye(6, dtype=U.dtype)
     eyep = jnp.eye(3, dtype=V.dtype)
@@ -234,35 +282,35 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
     Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
 
     # rhs b = -g_c + W V^-1 g_p
-    z_p = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)
-    Wz = cam_reduce(jnp.einsum("pdij,pj->pdi", Y, z_p, precision=_HIGHEST))
+    z_p = _mv(Vinv, g_p)
+    Wz = cam_reduce(jnp.sum(Y * z_p[:, None, None, :], axis=-1))
     b = -g_c + Wz                                               # (C', 6)
 
     pad = jnp.zeros((n_fixed, 6), U.dtype)
 
     def matvec(x):
         xs = jnp.concatenate([pad, x], axis=0)[p.cam_slot]      # (P, D, 6)
-        y = jnp.einsum("pdij,pdi->pdj", Y, xs, precision=_HIGHEST)
+        y = jnp.sum(Y * xs[..., None], axis=-2)                 # (P, D, 3)
         q = jnp.sum(y, axis=1)                                  # (P, 3)
-        z = jnp.einsum("pij,pj->pi", Vinv, q, precision=_HIGHEST)
-        w2 = jnp.einsum("pdij,pj->pdi", Y, z, precision=_HIGHEST)
+        z = _mv(Vinv, q)
+        w2 = jnp.sum(Y * z[:, None, None, :], axis=-1)          # (P, D, 6)
         WVWx = cam_reduce(w2)
-        Ux = jnp.einsum("cij,cj->ci", U, x, precision=_HIGHEST)
+        Ux = _mv(U, x)
         return Ux - WVWx
 
     # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S (exact
     # because one (camera, point) pair has at most one observation slot)
-    D_o = jnp.einsum("pdij,pjk,pdlk->pdil", Y, Vinv, Y, precision=_HIGHEST)
+    YV = _mm(Y, Vinv[:, None])                                  # (P, D, 6, 3)
+    D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
     Dred = cam_reduce(D_o)
-    Minv = jnp.linalg.inv(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
+    Minv = _inv6(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
 
     dc_blocks = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, cg_tol)
 
     # back-substitute points: dp = V^-1 (-g_p - W^T dc)
     dcs = jnp.concatenate([pad, dc_blocks], axis=0)[p.cam_slot]  # (P, D, 6)
-    Wt = jnp.sum(jnp.einsum("pdij,pdi->pdj", Y, dcs, precision=_HIGHEST),
-                 axis=1)                                         # (P, 3)
-    dp = jnp.einsum("pij,pj->pi", Vinv, -g_p - Wt, precision=_HIGHEST)
+    Wt = jnp.sum(jnp.sum(Y * dcs[..., None], axis=-2), axis=1)   # (P, 3)
+    dp = _mv(Vinv, -g_p - Wt)
 
     d_r = jnp.zeros_like(rvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, :3])
     d_t = jnp.zeros_like(tvecs).at[n_fixed:].set(dc_blocks[: C - n_fixed, 3:])
@@ -297,9 +345,16 @@ def ba_solve_grid_impl(
     p = problem._replace(mask=problem.mask.astype(problem.uv.dtype))
     C = p.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
-    # static one-hot over adjustable cameras (all-zero row for fixed cams)
-    onehot = (p.cam_slot[..., None] - n_fixed
-              == jnp.arange(C_adj)[None, None, :]).astype(p.uv.dtype)
+    # static one-hot over adjustable cameras (all-zero row for fixed cams);
+    # the PCG path builds the transposed layout directly (no 2x(P*D*C') relayout)
+    if cg_iters > 0:
+        onehot = None
+        onehot_T = (jnp.arange(C_adj)[:, None]
+                    == (p.cam_slot.reshape(-1)[None, :] - n_fixed)
+                    ).astype(p.uv.dtype)                # (C_adj, P*D)
+    else:
+        onehot = (p.cam_slot[..., None] - n_fixed
+                  == jnp.arange(C_adj)[None, None, :]).astype(p.uv.dtype)
 
     def residuals(rv, tv, pt):
         r, _, _ = _grid_terms(rv, tv, pt, p)
@@ -314,9 +369,6 @@ def ba_solve_grid_impl(
 
     init_cost = cost_at(p.rvecs, p.tvecs, p.points)
     init_sq = sq_at(p.rvecs, p.tvecs, p.points)
-
-    if cg_iters > 0:
-        onehot_T = onehot.reshape(-1, C_adj).T          # (C_adj, P*D)
 
     def cond(s):
         return (~s[6]) & (s[5] < max_iterations)
