@@ -66,9 +66,149 @@ def stage_flops(fn, *args):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
+def scan_chain_of(step, init, perturb):
+    """Chain k data-dependent evaluations of ``step`` in ONE dispatch."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(x0, iters):
+        def body(carry, _):
+            out = step(carry)
+            return perturb(carry, out), None
+        carry, _ = jax.lax.scan(body, x0, None, length=iters)
+        return carry
+    return lambda k: chain(init, iters=k)
+
+
+def main_global(args):
+    """Stage breakdown of the GLOBAL-scale grid PCG LM step
+    (ops/ba_grid._solve_step_pcg) at C=200/P=30k/O=120k — the numbers behind
+    the batched-tiny-einsum elimination and the measured CG cap (config.py
+    BAConfig.cg_iters).  Stages: terms (residuals+Jacobians), gathers (the
+    small-table camera-state gathers inside terms, isolated), setup (Hessian
+    blocks U/V/Y, gradient, rhs), precond (block-Jacobi 6x6 diagonal of S),
+    matvec (one PCG application), cost (trial-point evaluation)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from bundle_adjustment_tpu.ops import ba as ba_flat
+    from bundle_adjustment_tpu.ops import ba_grid
+    from bundle_adjustment_tpu.ops.lie import so3_exp
+
+    H = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(11)
+    prob = bench.make_global_problem(
+        rng, C=args.cams, P=args.points, obs_per_pt=args.obs_per_pt)
+    grid = ba_grid.from_flat(prob)
+    n_fixed = 1
+    C = grid.rvecs.shape[0]
+    C_adj = C - n_fixed
+    P, D = grid.cam_slot.shape
+    onehot_T = jnp.asarray(
+        (np.arange(C_adj)[:, None]
+         == (np.asarray(grid.cam_slot).reshape(-1)[None, :] - n_fixed)
+         ).astype(np.float32))
+    lam = jnp.float32(1e-3)
+    eps = 1e-12
+    stages = {}
+
+    def f_terms(pt):
+        return ba_grid._grid_terms(grid.rvecs, grid.tvecs, pt, grid)
+
+    r0, Jc0, Jp0 = jax.jit(lambda: f_terms(grid.points))()
+    stages["terms"] = marginal_time(scan_chain_of(
+        f_terms, grid.points, lambda pt, out: pt + eps * jnp.sum(out[0])),
+        k_hi=16)
+
+    def f_gather(rv):
+        Rs = jax.vmap(so3_exp)(rv)
+        dRdr = jax.vmap(jax.jacfwd(so3_exp))(rv)
+        return (Rs[grid.cam_slot], grid.tvecs[grid.cam_slot],
+                dRdr[grid.cam_slot])
+    stages["terms_gathers_only"] = marginal_time(scan_chain_of(
+        f_gather, grid.rvecs,
+        lambda rv, out: rv + eps * jnp.sum(out[0][:, :1])), k_hi=16)
+
+    def cam_reduce(rows):
+        flat = rows.reshape(P * D, -1)
+        return (onehot_T @ flat).reshape((C_adj,) + rows.shape[2:])
+
+    def f_setup(r):
+        a = jnp.abs(r)
+        w = jnp.where(a <= 1.0, 1.0, 1.0 / jnp.maximum(a, 1e-12)) \
+            * grid.mask[..., None]
+        cam_ok = (grid.cam_slot >= n_fixed).astype(r.dtype)[..., None, None]
+        Jc = Jc0 * cam_ok
+        Jc_w = Jc * w[..., None]
+        U = cam_reduce(ba_grid._jtj(Jc, Jc, w))
+        g_c = cam_reduce(jnp.sum(Jc_w * r[..., None], axis=-2))
+        V = jnp.sum(ba_grid._jtj(Jp0, Jp0, w), axis=1)
+        g_p = jnp.sum(Jp0 * w[..., None] * r[..., None], axis=(1, 2))
+        Y = ba_grid._jtj(Jc, Jp0, w)
+        eyec = jnp.eye(6, dtype=U.dtype)
+        eyep = jnp.eye(3, dtype=V.dtype)
+        U = U + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U)))
+                       + 1e-6 * eyec)
+        V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V)))
+                       + 1e-6 * eyep)
+        Vinv = ba_flat._inv3(V)
+        Vinv = jnp.where(grid.point_mask[:, None, None], Vinv, 0.0)
+        z_p = ba_grid._mv(Vinv, g_p)
+        Wz = cam_reduce(jnp.sum(Y * z_p[:, None, None, :], axis=-1))
+        b = -g_c + Wz
+        return U, Vinv, Y, b, g_p
+
+    U0, Vinv0, Y0, b0, gp0 = jax.jit(lambda: f_setup(r0))()
+    stages["setup"] = marginal_time(scan_chain_of(
+        f_setup, r0, lambda r, out: r + eps * out[3][:1, :2][None]), k_hi=16)
+
+    def f_precond(Y):
+        YV = ba_grid._mm(Y, Vinv0[:, None])
+        D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
+        Dred = cam_reduce(D_o)
+        return ba_grid._inv6(U0 - Dred + 1e-8 * jnp.eye(6, dtype=U0.dtype))
+    stages["precond"] = marginal_time(scan_chain_of(
+        f_precond, Y0, lambda Y, out: Y + eps * jnp.sum(out)), k_hi=16)
+
+    pad = jnp.zeros((n_fixed, 6), U0.dtype)
+
+    def f_matvec(x):
+        xs = jnp.concatenate([pad, x], axis=0)[grid.cam_slot]
+        y = jnp.sum(Y0 * xs[..., None], axis=-2)
+        q = jnp.sum(y, axis=1)
+        z = ba_grid._mv(Vinv0, q)
+        w2 = jnp.sum(Y0 * z[:, None, None, :], axis=-1)
+        return ba_grid._mv(U0, x) - cam_reduce(w2)
+    stages["matvec"] = marginal_time(scan_chain_of(
+        f_matvec, b0, lambda x, out: out), k_hi=64)
+
+    def f_cost(pt):
+        r, _, _ = ba_grid._grid_terms(grid.rvecs, grid.tvecs, pt, grid)
+        return jnp.sum(r * r)
+    stages["cost"] = marginal_time(scan_chain_of(
+        f_cost, grid.points, lambda pt, out: pt + eps * out), k_hi=16)
+
+    out = {
+        "metric": "ba_global_pcg_breakdown",
+        "problem": f"C={args.cams} P={args.points} D<={args.obs_per_pt}",
+        "backend": jax.default_backend(),
+        "stage_us": {k: round(v * 1e6, 1) for k, v in stages.items()},
+        "per_lm_iter_fixed_us": round(
+            (stages["terms"] + stages["setup"] + stages["precond"]
+             + stages["cost"]) * 1e6, 1),
+        "per_cg_iter_us": round(stages["matvec"] * 1e6, 1),
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--global-pcg", action="store_true",
+                    help="profile the global-scale grid PCG stages instead "
+                         "of the window-scale dense step")
     ap.add_argument("--cams", type=int, default=6)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--obs-per-pt", type=int, default=4)
@@ -82,6 +222,11 @@ def main(argv=None):
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"))
+
+    if getattr(args, "global_pcg", False):
+        if args.cams == 6:  # window default -> global default
+            args.cams, args.points = 200, 30000
+        return main_global(args)
 
     import jax.numpy as jnp
 
