@@ -81,52 +81,118 @@ def make_window_problem(rng):
     return prob, (rvecs, tvecs, X, cam_idx, pnt_idx, uv)
 
 
-def bench_tpu_ba(prob, repeats=3):
-    """Marginal cost per LM iteration, free of dispatch/sync artifacts.
+def _marginal_estimate(timed_run, k_hi, repeats=10, passes=2):
+    """K-minus-1 marginal protocol with a self-attested spread.
 
-    Per-call wall time through the device tunnel is dominated by host<->device
-    round trips (ms-scale each), and back-to-back async dispatches overlap and
-    under-count.  The clean protocol: time one call pinned to K iterations
-    (ftol=xtol=0 disables early exit) minus a 1-iteration call, divided by the
-    actual iteration delta.
+    ``timed_run(k)`` must issue ONE dispatch chaining ``k`` data-dependent
+    iterations and block, returning the actual iteration count.  Per-call
+    wall time through the device tunnel carries tens-of-ms round-trip jitter
+    (BASELINE.md), so the signal ``t(K) - t(1)`` must dwarf it: callers pick
+    ``k_hi`` so the device-time delta is >= ~100 ms.  min-of-``repeats``
+    strips the positive-additive tunnel noise; the whole estimate is then
+    repeated ``passes`` times and the relative spread across passes is
+    reported alongside the point value (VERDICT r2 #1: numbers must
+    reproduce, and say so)."""
+    def best_of(k):
+        timed_run(k)  # warm (compile / cache)
+        best, it = float("inf"), 1
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            it = timed_run(k)
+            best = min(best, time.perf_counter() - t0)
+        return best, it
+
+    ests = []
+    for _ in range(passes):
+        d1, i1 = best_of(1)
+        dK, iK = best_of(k_hi)
+        ests.append((dK - d1) / max(iK - i1, 1))
+    point = min(ests)
+    spread = (max(ests) - min(ests)) / point if point > 0 else 0.0
+    return point, spread
+
+
+def bench_tpu_ba(prob):
+    """Marginal cost per LM iteration, free of dispatch/sync artifacts.
 
     Measures BOTH window solvers: the XLA observation-grid solver and the
     fused Pallas LM kernel (ops/ba_pallas.py; TPU only).  The headline is the
-    best available on this backend."""
+    best available on this backend.
+
+    Protocol: ONE dispatch scanning K data-dependent FULL 50-iteration solves
+    (ftol=xtol=0 disables the convergence exits, and 50 iterations is too few
+    for the rejected-at-lambda_max stop), minus a 1-solve dispatch, divided by
+    the actual iteration-count delta read from the solver stats.  Raising the
+    solver's own max_iterations instead does NOT work: once converged, LM
+    rejects every step, lambda hits lambda_max after ~55 rejects and the loop
+    exits — the span silently stops growing and the estimate drowns in tunnel
+    jitter (the round-2 bench's 8-17x run-to-run swing, VERDICT r2 #1)."""
     from bundle_adjustment_tpu.ops import ba_grid, ba_pallas
 
     grid = ba_grid.from_flat(prob)
+    kwargs = dict(n_fixed=1, max_iterations=50, ftol=0.0, xtol=0.0,
+                  lambda_max=1e30)
 
-    def measure(solve):
-        def run(iters):
-            kwargs = dict(n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-                          lambda_max=1e30)
-            out = solve(grid, **kwargs)
-            jax.block_until_ready(out[:3])
+    def measure(solve, k, repeats=10, passes=2):
+        """Per-iteration marginal with per-solve setup cancelled: difference
+        two chains of the SAME solve count at different max_iterations, so
+        prep/launch overhead subtracts out exactly.  Also returns the full
+        50-iteration solve latency (what the pipeline actually pays)."""
+        @functools.partial(jax.jit, static_argnames=("iters", "max_iter"))
+        def chain(iters, max_iter):
+            def body(carry, _):
+                # data dependency so XLA cannot hoist the scanned solve; the
+                # perturbation (~1e-27) vanishes in f32 rounding, so every
+                # solve does identical work
+                g = grid._replace(rvecs=grid.rvecs + carry * 1e-30)
+                kw = dict(kwargs, max_iterations=max_iter)
+                _, _, _, stats = solve(g, **kw)
+                return stats.final_sq.astype(jnp.float32), stats.iterations
+            carry, its = jax.lax.scan(body, jnp.float32(0.0), None,
+                                      length=iters)
+            return carry, jnp.sum(its)
+
+        def best_of(max_iter):
+            c, its = chain(iters=k, max_iter=max_iter)
+            jax.block_until_ready(c)
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                out = solve(grid, **kwargs)
-                jax.block_until_ready(out[:3])
+                c, its = chain(iters=k, max_iter=max_iter)
+                jax.block_until_ready(c)
                 best = min(best, time.perf_counter() - t0)
-            return best, int(out[3].iterations), out[3]
+            return best, int(its)
 
-        d1, i1, _ = run(1)
-        dK, iK, stats = run(101)
-        per_iter = (dK - d1) / max(iK - i1, 1)
-        return 1.0 / per_iter, stats
+        ests, solve_ts = [], []
+        for _ in range(passes):
+            d_lo, i_lo = best_of(10)
+            d_hi, i_hi = best_of(50)
+            ests.append((d_hi - d_lo) / (i_hi - i_lo))
+            solve_ts.append(d_hi / k)
+        per_iter = min(ests)
+        spread = (max(ests) - per_iter) / per_iter
+        return 1.0 / per_iter, spread, min(solve_ts)
 
-    grid_its, stats = measure(ba_grid.ba_solve_grid)
-    pallas_its = None
+    # one plain solve of each for the stats + kernel-vs-XLA cross-check
+    stats = jax.device_get(ba_grid.ba_solve_grid(grid, **kwargs)[3])
+    # ~70 ms/solve x 8 chained solves per dispatch
+    grid_its, grid_spread, grid_solve_s = measure(ba_grid.ba_solve_grid, 8)
+    pallas_its, pallas_spread, pallas_solve_s = None, None, None
     if jax.default_backend() == "tpu":
-        pallas_its, p_stats = measure(ba_pallas.ba_solve_grid_pallas)
+        p_stats = jax.device_get(
+            ba_pallas.ba_solve_grid_pallas(grid, **kwargs)[3])
         # the kernel must reproduce the XLA solve (same LM semantics)
         assert abs(float(p_stats.final_sq) - float(stats.final_sq)) <= \
             1e-2 * max(float(stats.final_sq), 1.0), (
                 float(p_stats.final_sq), float(stats.final_sq))
+        # ~1.2 ms/solve x 512 chained solves per dispatch
+        pallas_its, pallas_spread, pallas_solve_s = measure(
+            ba_pallas.ba_solve_grid_pallas, 512)
     best = max(grid_its, pallas_its or 0.0)
+    spread = pallas_spread if (pallas_its or 0.0) >= grid_its else grid_spread
+    solve_s = pallas_solve_s if (pallas_its or 0.0) >= grid_its else grid_solve_s
     return (best, float(stats.initial_sq), float(stats.final_sq), grid,
-            grid_its, pallas_its)
+            grid_its, pallas_its, spread, solve_s)
 
 
 def lm_iteration_flops(grid, n_fixed=1):
@@ -197,7 +263,7 @@ def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
     )
 
 
-def bench_global_ba(repeats=3):
+def bench_global_ba():
     """Marginal it/s at global scale (C=200 cameras, 30k points, 120k
     observations), for BOTH matrix-free PCG camera solvers: the scatter-free
     GRID layout (ops/ba_grid._solve_step_pcg — the pipeline's global-BA path,
@@ -209,21 +275,17 @@ def bench_global_ba(repeats=3):
     prob = make_global_problem(rng)
     grid = ba_grid.from_flat(prob)
 
-    def measure(run):
-        def best_of(iters):
-            run(iters)
-            best = float("inf")
-            st = None
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                st = run(iters)
-                best = min(best, time.perf_counter() - t0)
-            return best, int(st.iterations), st
+    def measure(run, k_hi, repeats):
+        stats_box = {}
 
-        d1, i1, _ = best_of(1)
-        dK, iK, stats = best_of(26)
-        per_iter = (dK - d1) / max(iK - i1, 1)
-        return 1.0 / per_iter, stats
+        def timed_run(iters):
+            st = run(iters)
+            stats_box["stats"] = st
+            return int(st.iterations)
+
+        per_iter, spread = _marginal_estimate(timed_run, k_hi,
+                                              repeats=repeats)
+        return 1.0 / per_iter, spread, stats_box["stats"]
 
     def run_grid(iters):
         out = ba_grid.ba_solve_grid(
@@ -237,10 +299,11 @@ def bench_global_ba(repeats=3):
                           cg_tol=1e-6)
         return jax.device_get(out[3])
 
-    grid_its, g_stats = measure(run_grid)
-    flat_its, _ = measure(run_flat)
+    # ~20 ms/iter grid, ~120 ms/iter flat: spans sized for >=500 ms deltas
+    grid_its, g_spread, g_stats = measure(run_grid, 51, repeats=6)
+    flat_its, _, _ = measure(run_flat, 11, repeats=4)
     return (grid_its, float(g_stats.initial_sq), float(g_stats.final_sq),
-            flat_its)
+            flat_its, g_spread)
 
 
 def device_peak_flops():
@@ -256,24 +319,14 @@ def device_peak_flops():
     return 197e12 if jax.default_backend() == "tpu" else 1e12
 
 
-def _marginal_time(run, k_hi=64, repeats=3):
-    """K-minus-1 marginal protocol: time(run(K)) - time(run(1)) over (K-1)
-    calls — the per-call device time free of dispatch/sync artifacts (each
-    ``run(k)`` must be ONE dispatch chaining k data-dependent iterations)."""
-    def best_of(k):
-        out = run(k)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = run(k)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+def _marginal_time(run, k_hi=64, repeats=10):
+    """K-minus-1 marginal protocol over a blocking chained dispatch; returns
+    (per_call_seconds, relative_spread) via _marginal_estimate."""
+    def timed_run(k):
+        jax.block_until_ready(run(k))
+        return k
 
-    d1 = best_of(1)
-    dK = best_of(k_hi)
-    return (dK - d1) / (k_hi - 1)
+    return _marginal_estimate(timed_run, k_hi, repeats=repeats)
 
 
 def bench_matcher():
@@ -306,10 +359,13 @@ def bench_matcher():
         carry, _ = jax.lax.scan(body, d1, None, length=iters)
         return carry
 
-    per_call = _marginal_time(lambda k: chain(d1, d2, iters=k))
+    # ~0.4 ms/call x 1024 calls => ~400 ms marginal span (VERDICT r2 #1:
+    # k_hi=64 left the delta inside tunnel jitter)
+    per_call, spread = _marginal_time(lambda k: chain(d1, d2, iters=k),
+                                      k_hi=1024)
     # FLOP-equivalent of the distance matmul: 2 * N1 * N2 * 256
     flops = 2.0 * 4096 * 4096 * 256
-    return per_call, flops / per_call
+    return per_call, flops / per_call, spread
 
 
 def bench_orb():
@@ -330,7 +386,8 @@ def bench_orb():
         carry, _ = jax.lax.scan(body, img, None, length=iters)
         return carry
 
-    return _marginal_time(lambda k: chain(img, iters=k), k_hi=16)
+    # ~6 ms/frame x 64 => ~380 ms marginal span
+    return _marginal_time(lambda k: chain(img, iters=k), k_hi=64)
 
 
 def measure_scipy_baseline(scene):
@@ -399,17 +456,19 @@ def main():
 
     rng = np.random.default_rng(7)
     prob, _ = make_window_problem(rng)
-    it_per_s, init_sq, final_sq, grid, grid_its, pallas_its = bench_tpu_ba(prob)
+    (it_per_s, init_sq, final_sq, grid, grid_its, pallas_its,
+     ba_spread, ba_solve_s) = bench_tpu_ba(prob)
     peak = device_peak_flops()
     ba_flops = lm_iteration_flops(grid)
     ba_tflops = ba_flops * it_per_s / 1e12
 
-    match_s, match_flops_s = bench_matcher()
-    orb_s = bench_orb()
+    match_s, match_flops_s, match_spread = bench_matcher()
+    orb_s, orb_spread = bench_orb()
     try:
-        g_its, g_init, g_final, g_flat_its = bench_global_ba()
+        g_its, g_init, g_final, g_flat_its, g_spread = bench_global_ba()
     except Exception as e:  # global-scale BA is auxiliary; never fail bench
-        g_its, g_init, g_final, g_flat_its = f"error: {e}", None, None, None
+        g_its, g_init, g_final, g_flat_its, g_spread = (
+            f"error: {e}", None, None, None, None)
 
     fps, tracked_ms = None, None
     if "--no-fps" not in sys.argv:
@@ -439,17 +498,23 @@ def main():
         "scipy_cpu_iters_per_s": baseline,
         "ba_cost_reduction": round(init_sq / max(final_sq, 1e-9), 1),
         "ba_ms_per_iter": round(1e3 / it_per_s, 4),
+        "ba_solve50_ms": round(ba_solve_s * 1e3, 3),
+        "ba_spread_pct": round(100 * ba_spread, 1),
         "ba_xla_grid_iters_per_s": round(grid_its, 1),
         "ba_pallas_iters_per_s": (round(pallas_its, 1) if pallas_its else None),
         "ba_flops_per_iter": ba_flops,
         "ba_achieved_tflops": round(ba_tflops, 3),
         "ba_mfu_pct_bf16peak": round(100 * ba_tflops * 1e12 / peak, 3),
         "matcher_ms_per_4096sq_2nn": round(match_s * 1e3, 4),
+        "matcher_spread_pct": round(100 * match_spread, 1),
         "matcher_tflops_equiv": round(match_flops_s / 1e12, 2),
         "matcher_mfu_pct_bf16peak": round(100 * match_flops_s / peak, 2),
         "orb_ms_per_frame_720p": round(orb_s * 1e3, 3),
+        "orb_spread_pct": round(100 * orb_spread, 1),
         "ba_global_iters_per_s": (round(g_its, 2)
                                   if isinstance(g_its, float) else g_its),
+        "ba_global_spread_pct": (round(100 * g_spread, 1)
+                                 if isinstance(g_spread, float) else None),
         "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
                                        if isinstance(g_flat_its, float)
                                        else g_flat_its),
