@@ -24,6 +24,7 @@ per SURVEY §2.4/§7 rather than silently introduced):
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -39,6 +40,65 @@ from bundle_adjustment_tpu.ops import ba, hamming, orb, ransac, triangulation
 from bundle_adjustment_tpu.ops.lie import rotation_angle
 from bundle_adjustment_tpu.utils.event_log import EventLog
 from bundle_adjustment_tpu.utils import viz
+
+
+@functools.lru_cache(maxsize=64)
+def _build_lba_refine_fn(use_pallas: bool, n_fixed: int, opts: tuple,
+                         has_refine: bool, refine_iters: int,
+                         refine_huber: float, prune_thr: float):
+    """Window LBA + optional motion-only refine of the newest keyframe +
+    post-BA outlier classification, fused into ONE jitted dispatch whose
+    host-needed outputs are packed into a single flat f32 vector (one device
+    pull).  On a remote-dispatch rig each dispatch or pull is a full tunnel
+    round trip; the staged insertion path cost ~6 of them here (VERDICT r2
+    #2).  Packed layout, with C cameras, O observation slots, P point slots:
+      [rv (C*3) | tv (C*3) | window stats (6) | refine rvec+tvec+stats (12) |
+       bad-observation mask (O) | points (P*3)]"""
+    from bundle_adjustment_tpu.ops import ba_grid, ba_pallas
+
+    optd = dict(opts)
+
+    def impl(grid, problem, *maybe_refine):
+        if use_pallas:
+            rv, tv, pts, stats = ba_pallas.ba_solve_grid_pallas(
+                grid, n_fixed=n_fixed, **optd)
+        else:
+            rv, tv, pts, stats = ba_grid.ba_solve_grid_impl(
+                grid, n_fixed=n_fixed, **optd)
+        f32 = jnp.float32
+        stats_v = jnp.stack([
+            stats.initial_cost.astype(f32), stats.final_cost.astype(f32),
+            stats.initial_sq.astype(f32), stats.final_sq.astype(f32),
+            stats.iterations.astype(f32), stats.accepted.astype(f32)])
+        if has_refine:
+            rp = maybe_refine[0]
+            # motion-only BA: every point masked out of the parameter set
+            # (V^-1 = 0 => the reduced system is the camera block alone)
+            rp = rp._replace(point_mask=jnp.zeros_like(rp.point_mask))
+            rrv, rtv, _, rstats = ba.ba_solve_impl(
+                rp, n_fixed=0, max_iterations=refine_iters,
+                huber_delta=refine_huber)
+            refine_v = jnp.concatenate([
+                rrv[0].astype(f32), rtv[0].astype(f32),
+                jnp.stack([rstats.initial_sq.astype(f32),
+                           rstats.final_sq.astype(f32),
+                           rstats.iterations.astype(f32),
+                           rstats.accepted.astype(f32),
+                           jnp.float32(0.0), jnp.float32(0.0)])])
+        else:
+            refine_v = jnp.zeros(12, f32)
+        if prune_thr > 0:
+            r = ba._residuals(rv, tv, pts, problem)
+            norms = jnp.linalg.norm(r, axis=1)
+            bad = (problem.obs_mask > 0) & (norms > prune_thr)
+        else:
+            bad = jnp.zeros(problem.uv.shape[0], bool)
+        return jnp.concatenate([
+            rv.reshape(-1).astype(f32), tv.reshape(-1).astype(f32),
+            stats_v, refine_v, bad.astype(f32),
+            pts.reshape(-1).astype(f32)])
+
+    return jax.jit(impl)
 
 
 class VisualOdometryPipeline:
@@ -293,7 +353,8 @@ class VisualOdometryPipeline:
                                   decision.metrics)
         self._add_new_keyframe(frame_bgr, kp, last_kf, match_idx, inl, R_rel, t_rel,
                                world_pose=world_pose_override)
-        ba_result = self.run_local_ba()
+        ba_result = self.run_local_ba(
+            refine_kf_id=kf_id if self.cfg.pose_refine else None)
         loop_info = self._maybe_close_loop(kf_id)
         return {
             "status": "keyframe",
@@ -446,12 +507,20 @@ class VisualOdometryPipeline:
         kf_id = self.map.new_keyframe_id()
         self.log.keyframe_trigger(self.frame_idx, kf_id, decision.reason,
                                   decision.metrics)
+        # insertion payload: ONE packed pull instead of per-array round trips
+        ins = frontend.unpack_insert(res.insert_packed)
         if inl is None:
-            inl = np.asarray(res.inliers)  # deferred to insertion time
+            inl = ins.inliers  # deferred to insertion time
+        kp_host = types.SimpleNamespace(xy=ins.kp_xy, desc=res.kp_desc,
+                                        valid=ins.kp_valid)
+        # the speculative triangulation used the PnP relative model; on the
+        # essential-RANSAC fallback the model differs — re-triangulate there
+        tri = (ins.tri_X, ins.tri_valid) if metrics_from_device else None
         self._add_new_keyframe(
-            frame_bgr, kp, last_kf, np.asarray(res.match_idx), inl,
-            R_rel, t_rel, world_pose=world_pose_override)
-        ba_result = self.run_local_ba()
+            frame_bgr, kp_host, last_kf, ins.match_idx, inl,
+            R_rel, t_rel, world_pose=world_pose_override, tri=tri)
+        ba_result = self.run_local_ba(
+            refine_kf_id=kf_id if self.cfg.pose_refine else None)
         loop_info = self._maybe_close_loop(kf_id)
         return {
             "status": "keyframe",
@@ -560,10 +629,14 @@ class VisualOdometryPipeline:
         return (last_kf.R @ X_rel.T).T + last_kf.t  # reference formula
 
     def _add_new_keyframe(self, frame_bgr, kp: orb.Keypoints, last_kf: Keyframe,
-                          match_idx, inl, R_rel, t_rel, world_pose=None):
+                          match_idx, inl, R_rel, t_rel, world_pose=None,
+                          tri=None):
         """Keyframe insertion with re-observation bookkeeping + triangulation
         (ref: src/pipeline.py:226-313).  ``world_pose`` (from the PnP chain)
-        overrides the composed pose when provided."""
+        overrides the composed pose when provided.  ``tri`` = (X_rel, valid)
+        per match slot, speculatively computed inside the fused tracked
+        dispatch (models/frontend.py) so insertion needs no triangulation
+        dispatch of its own."""
         if world_pose is not None:
             world_R, world_t = world_pose
         else:
@@ -603,17 +676,23 @@ class VisualOdometryPipeline:
         # new points: triangulate in the last KF's frame, then world-transform
         n_slots = slots[~reobs]
         if len(n_slots):
-            uv1 = last_kf.xy[n_slots]
-            uv2 = kp_xy[match_idx[n_slots]]
-            X_rel, valid = triangulation.triangulate_pair(
-                jnp.asarray(self.K, jnp.float32),
-                jnp.asarray(R_rel, jnp.float32),
-                jnp.asarray(t_rel, jnp.float32),
-                jnp.asarray(uv1, jnp.float32),
-                jnp.asarray(uv2, jnp.float32),
-            )
-            X_rel = np.asarray(X_rel, np.float64)
-            valid = np.asarray(valid)
+            if tri is not None:
+                # speculative per-slot triangulation from the fused tracked
+                # dispatch — already pulled, no extra round trip
+                X_rel = tri[0][n_slots]
+                valid = tri[1][n_slots]
+            else:
+                uv1 = last_kf.xy[n_slots]
+                uv2 = kp_xy[match_idx[n_slots]]
+                X_rel, valid = triangulation.triangulate_pair(
+                    jnp.asarray(self.K, jnp.float32),
+                    jnp.asarray(R_rel, jnp.float32),
+                    jnp.asarray(t_rel, jnp.float32),
+                    jnp.asarray(uv1, jnp.float32),
+                    jnp.asarray(uv2, jnp.float32),
+                )
+                X_rel = np.asarray(X_rel, np.float64)
+                valid = np.asarray(valid)
             self.log.triangulated(self.frame_idx, int(valid.sum()), len(n_slots))
             if valid.any():
                 keep = n_slots[valid]
@@ -632,8 +711,7 @@ class VisualOdometryPipeline:
         if self.cfg.covis_keyframes > 0:
             self._covisibility_reobserve(new_kf, exclude_id=last_kf.kf_id)
 
-        if self.cfg.pose_refine:
-            self._refine_pose_only(new_kf.kf_id)
+        # pose_refine now rides the LBA dispatch (run_local_ba refine_kf_id)
 
         if self.cfg.cull_enabled:
             self._cull_points()
@@ -686,19 +764,50 @@ class VisualOdometryPipeline:
         """Register reprojection-verified re-observations of map points seen
         by recent keyframes (beyond the last one) — longer tracks, less drift.
         Projection uses the extrinsic interpretation of stored poses, i.e.
-        exactly the model BA optimizes."""
+        exactly the model BA optimizes.
+
+        The WHOLE recent bank is matched + verified in ONE device dispatch
+        (frontend.covis_step; one per-keyframe dispatch each cost a full
+        tunnel round trip — VERDICT r2 #2); only the sequential
+        one-point-per-keypoint bookkeeping stays host-side."""
+        from bundle_adjustment_tpu.models import frontend
+
         recent = [k for k in self.map.sorted_kf_ids()
                   if k not in (new_kf.kf_id, exclude_id)][-self.cfg.covis_keyframes:]
-        for kf_id in recent:
+        if not recent:
+            return
+        pts_all = self.map.points()
+        bank_desc = jnp.stack([self.map.keyframes[k].desc for k in recent])
+        N = new_kf.xy.shape[0]
+        B = len(recent)
+        bank_valid = np.zeros((B, N), bool)
+        bank_pts = np.zeros((B, N, 3), np.float32)
+        bank_tracked = np.zeros((B, N), bool)
+        for b, k in enumerate(recent):
+            kf = self.map.keyframes[k]
+            bank_valid[b] = kf.kp_valid
+            tr = kf.kp_to_mp >= 0
+            bank_tracked[b] = tr
+            if tr.any():
+                bank_pts[b, tr] = pts_all[kf.kp_to_mp[tr]]
+
+        fn = frontend.build_covis_fn(
+            self.cfg.ratio_test, self.cfg.cross_check,
+            self.use_pallas_matcher, float(self.cfg.covis_reproj_px))
+        out = np.asarray(fn(
+            bank_desc, jnp.asarray(bank_valid), jnp.asarray(bank_pts),
+            jnp.asarray(bank_tracked), new_kf.desc,
+            jnp.asarray(new_kf.kp_valid),
+            jnp.asarray(new_kf.xy, jnp.float32),
+            jnp.asarray(new_kf.R, jnp.float32),
+            jnp.asarray(new_kf.t, jnp.float32),
+            jnp.asarray(self.K, jnp.float32)))
+
+        for b, kf_id in enumerate(recent):
             kf = self.map.keyframes[kf_id]
-            idx, mask, _ = self._match_fn(
-                kf.desc, jnp.asarray(kf.kp_valid), new_kf.desc,
-                jnp.asarray(new_kf.kp_valid)
-            )
-            idx = np.asarray(idx)
-            mask = np.asarray(mask)
-            cand = mask & (kf.kp_to_mp >= 0)
-            slots = np.flatnonzero(cand)
+            idx = out[b, :, 0].astype(np.int64)
+            ok = out[b, :, 1] > 0.5
+            slots = np.flatnonzero(ok)
             if not len(slots):
                 continue
             new_slots = idx[slots]
@@ -711,22 +820,16 @@ class VisualOdometryPipeline:
             if not len(slots):
                 continue
             mp = kf.kp_to_mp[slots]
-            X = self.map.points()[mp]
-            Xc = X @ new_kf.R.T + new_kf.t
-            z = Xc[:, 2]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                uv_hat = (Xc[:, :2] / z[:, None]) * [self.K[0, 0], self.K[1, 1]] \
-                    + [self.K[0, 2], self.K[1, 2]]
-            err = np.linalg.norm(uv_hat - new_kf.xy[new_slots], axis=1)
-            ok = (z > 1e-6) & np.isfinite(err) & (err < self.cfg.covis_reproj_px)
-            if ok.any():
+            live = mp >= 0  # device verify used insertion-time kp_to_mp too
+            slots, new_slots, mp = slots[live], new_slots[live], mp[live]
+            if len(slots):
                 self.map.add_observations(
-                    new_kf.kf_id, mp[ok], new_slots[ok], new_kf.xy[new_slots[ok]]
+                    new_kf.kf_id, mp, new_slots, new_kf.xy[new_slots]
                 )
                 self.log.emit(
                     "covis",
-                    f"    -> Covisibility: +{int(ok.sum())} re-observations vs KF {kf_id}",
-                    kf_id=new_kf.kf_id, anchor_kf=kf_id, added=int(ok.sum()),
+                    f"    -> Covisibility: +{len(slots)} re-observations vs KF {kf_id}",
+                    kf_id=new_kf.kf_id, anchor_kf=kf_id, added=len(slots),
                 )
 
     def _refine_pose_only(self, kf_id: int):
@@ -738,9 +841,8 @@ class VisualOdometryPipeline:
                                           self.cfg.ba.max_points, self.cfg.ba.max_obs)
         if gathered is None:
             return
-        problem, mp_ids, _ = gathered
-        n_live = int(np.asarray(problem.obs_mask).sum())
-        if n_live < 10:
+        problem, mp_ids, obs_rows = gathered
+        if len(obs_rows) < 10:
             return
         problem = problem._replace(point_mask=jnp.zeros_like(problem.point_mask))
         rv, tv, _, stats = ba.ba_solve(
@@ -758,20 +860,30 @@ class VisualOdometryPipeline:
     # -- bundle adjustment glue -------------------------------------------
 
     def run_local_ba(self, window_size: Optional[int] = None,
-                     global_ba: bool = False) -> Optional[dict]:
+                     global_ba: bool = False,
+                     refine_kf_id: Optional[int] = None) -> Optional[dict]:
         """Windowed LBA with the reference's window/gauge/divergence semantics
         (ref: src/bundle_adjuster.py:122-193).  Global BA is LBA with
-        window_size = num_keyframes (ref: src/main.py:80-89)."""
+        window_size = num_keyframes (ref: src/main.py:80-89).
+
+        ``refine_kf_id``: also motion-only-refine this keyframe's pose,
+        chained into the same device dispatch as the window solve when the
+        single-device path runs (VERDICT r2 #2)."""
         w = window_size or self.cfg.ba.window_size
         all_ids = self.map.sorted_kf_ids()
         if len(all_ids) < w:
             self.log.lba_skipped("Not enough keyframes.")
+            if refine_kf_id is not None:
+                self._refine_pose_only(refine_kf_id)
             return None
         window = all_ids[-(w + 1):-1]
         if len(window) < 2:
             self.log.lba_skipped("No adjustable keyframes.")
+            if refine_kf_id is not None:
+                self._refine_pose_only(refine_kf_id)
             return None
-        return self._solve_window(window, all_ids, global_ba=global_ba)
+        return self._solve_window(window, all_ids, global_ba=global_ba,
+                                  refine_kf_id=refine_kf_id)
 
     def run_partitioned_global_ba(self, n_windows: int, mesh=None,
                                   overlap: int = 2,
@@ -878,7 +990,8 @@ class VisualOdometryPipeline:
             return None
         return self._solve_window(all_ids, all_ids, global_ba=True)
 
-    def _solve_window(self, window, all_ids, global_ba: bool = False) -> Optional[dict]:
+    def _solve_window(self, window, all_ids, global_ba: bool = False,
+                      refine_kf_id: Optional[int] = None) -> Optional[dict]:
 
         n_fixed = max(1, min(self.cfg.ba.n_fixed, len(window) - 1))
         max_points, max_obs = self.cfg.ba.max_points, self.cfg.ba.max_obs
@@ -920,6 +1033,7 @@ class VisualOdometryPipeline:
             xtol=self.cfg.ba.xtol,
         )
         t0 = time.perf_counter()
+        bad_mask = None  # set by the fused single-device path
         # large windows (global BA over a long chain): matrix-free PCG camera
         # solve on the flat path — no (P, C', 6, 3) coupling tensor, no dense
         # (6C')^2 system (see ops/ba._solve_normal_equations)
@@ -965,31 +1079,80 @@ class VisualOdometryPipeline:
             # single-device fast path: the scatter-free observation-grid
             # solver (ops/ba_grid.py), upgraded to the fused Pallas LM kernel
             # (ops/ba_pallas.py; one device dispatch for the WHOLE solve,
-            # ~8 us/LM iteration on v5e) when on TPU and within its bounds
+            # ~8 us/LM iteration on v5e) when on TPU and within its bounds.
+            # The solve, the new keyframe's motion-only refine, and post-BA
+            # outlier classification run as ONE dispatch + ONE flat pull
+            # (_build_lba_refine_fn).
             from bundle_adjustment_tpu.ops import ba_grid, ba_pallas
 
             grid = ba_grid.from_flat(problem, on_drop=lambda n: self.log.emit(
                 "capacity_drop",
                 f"    -> Grid layout dropped {n} observations (max_slots cap)",
                 dropped_obs=int(n)))
-            if (self.cfg.ba.use_pallas_ba and not self._pallas_ba_broken
-                    and jax.default_backend() == "tpu"
-                    and ba_pallas.kernel_eligible(grid, n_fixed)):
-                try:
-                    rv, tv, pts, stats = ba_pallas.ba_solve_grid_pallas(
-                        grid, **solver_kwargs)
-                except Exception as e:  # Mosaic compile limits: fall back
-                    self._pallas_ba_broken = True
-                    self.log.emit(
-                        "pallas_ba_fallback",
-                        f"    -> Pallas BA kernel unavailable ({e!r}); "
-                        "using the XLA grid solver")
-                    rv, tv, pts, stats = ba_grid.ba_solve_grid(
-                        grid, **solver_kwargs)
-            else:
-                rv, tv, pts, stats = ba_grid.ba_solve_grid(
-                    grid, **solver_kwargs)
-        stats = jax.device_get(stats)
+            use_pallas = (self.cfg.ba.use_pallas_ba and not self._pallas_ba_broken
+                          and jax.default_backend() == "tpu"
+                          and ba_pallas.kernel_eligible(grid, n_fixed))
+
+            refine_problem = None
+            if refine_kf_id is not None:
+                g2 = self.map.gather_window(
+                    [refine_kf_id], self.K,
+                    self.cfg.ba.max_points, self.cfg.ba.max_obs)
+                if g2 is not None and len(g2[2]) >= 10:
+                    refine_problem = g2[0]
+
+            opts = tuple(sorted(
+                (k, int(v) if k == "max_iterations" else float(v))
+                for k, v in solver_kwargs.items() if k != "n_fixed"))
+            fn_args = (n_fixed, opts, refine_problem is not None, 10,
+                       float(self.cfg.ba.huber_delta),
+                       float(self.cfg.prune_obs_reproj_px))
+            call_args = (grid, problem) + (
+                (refine_problem,) if refine_problem is not None else ())
+            try:
+                flat = np.asarray(
+                    _build_lba_refine_fn(use_pallas, *fn_args)(*call_args),
+                    np.float64)
+            except Exception as e:  # Mosaic compile limits: fall back
+                if not use_pallas:
+                    raise
+                self._pallas_ba_broken = True
+                self.log.emit(
+                    "pallas_ba_fallback",
+                    f"    -> Pallas BA kernel unavailable ({e!r}); "
+                    "using the XLA grid solver")
+                flat = np.asarray(
+                    _build_lba_refine_fn(False, *fn_args)(*call_args),
+                    np.float64)
+            C_w = len(window)
+            O_w = problem.uv.shape[0]
+            rv = flat[: 3 * C_w].reshape(C_w, 3)
+            tv = flat[3 * C_w: 6 * C_w].reshape(C_w, 3)
+            sv = flat[6 * C_w: 6 * C_w + 6]
+            refv = flat[6 * C_w + 6: 6 * C_w + 18]
+            bad_mask = flat[6 * C_w + 18: 6 * C_w + 18 + O_w] > 0.5
+            pts = flat[6 * C_w + 18 + O_w:].reshape(-1, 3)
+            stats = ba.BAStats(
+                initial_cost=sv[0], final_cost=sv[1], initial_sq=sv[2],
+                final_sq=sv[3], iterations=int(sv[4]), accepted=sv[5] > 0.5)
+            if refine_problem is not None and bool(refv[9] > 0.5) \
+                    and refv[7] < refv[6]:
+                # refine accepted & improved: write the new pose back (the
+                # window solve never touches this keyframe — ref window
+                # choice src/bundle_adjuster.py:140 always excludes it)
+                from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+                kf_r = self.map.keyframes[refine_kf_id]
+                kf_r.R = so3_exp_np(refv[0:3])
+                kf_r.t = refv[3:6].copy()
+            refine_kf_id = None  # handled; skip the fallback below
+        if refine_kf_id is not None:
+            # non-fused solver branches (distributed / PCG): refine runs as
+            # its own dispatch, as before
+            self._refine_pose_only(refine_kf_id)
+        if not isinstance(stats, ba.BAStats) or not isinstance(
+                stats.final_sq, float):
+            stats = jax.device_get(stats)
         elapsed = time.perf_counter() - t0
 
         # divergence rejection on the raw squared cost — the reference's
@@ -1006,10 +1169,16 @@ class VisualOdometryPipeline:
 
         if self.cfg.prune_obs_reproj_px > 0:
             # post-BA outlier pruning on the solved window's residuals
-            r = np.asarray(ba._residuals(rv, tv, pts, problem))
-            norms = np.linalg.norm(r, axis=1)
-            live = np.asarray(problem.obs_mask) > 0
-            bad = live & (norms > self.cfg.prune_obs_reproj_px)
+            # (classified on-device by the fused path; recomputed here only
+            # for the distributed/PCG branches)
+            if bad_mask is None:
+                r = np.asarray(ba._residuals(
+                    jnp.asarray(rv, jnp.float32), jnp.asarray(tv, jnp.float32),
+                    jnp.asarray(pts, jnp.float32), problem))
+                norms = np.linalg.norm(r, axis=1)
+                live = np.asarray(problem.obs_mask) > 0
+                bad_mask = live & (norms > self.cfg.prune_obs_reproj_px)
+            bad = bad_mask
             n_bad = int(bad[: len(obs_rows)].sum())
             if n_bad:
                 self.map.kill_observations(obs_rows[bad[: len(obs_rows)]])
@@ -1049,7 +1218,7 @@ class VisualOdometryPipeline:
             "elapsed_s": elapsed,
             "n_cams": len(window),
             "n_points": len(mp_ids),
-            "n_obs": int(np.asarray(problem.obs_mask).sum()),
+            "n_obs": len(obs_rows),  # live rows gathered (no device pull)
         }
 
     def run_global_ba(self) -> Optional[dict]:
