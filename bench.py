@@ -482,7 +482,7 @@ def main():
             frames, Kc, _, _ = synthetic_sequence(n_frames=16, motion="strafe")
             fps, tracked_ms, _, _ = run_mode(
                 frames, Kc, True, warmup=5,
-                use_pallas=jax.default_backend() == "tpu")
+                use_pallas=jax.default_backend() == "tpu", pipelined=True)
             if tracked_ms != tracked_ms:  # no tracked frames -> nan
                 tracked_ms = None
         except Exception as e:  # fps is auxiliary; never fail the bench

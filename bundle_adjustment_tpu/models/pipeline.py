@@ -111,6 +111,7 @@ class VisualOdometryPipeline:
         self.frame_idx = -1
         self.K = config.camera.K
         self._key = jax.random.PRNGKey(0)
+        self._dispatch_key = jax.random.PRNGKey(1)  # fold_in by frame index
         self._lost_frames = 0
         self._last_debug_frame = None
         self._mesh = None
@@ -193,32 +194,112 @@ class VisualOdometryPipeline:
             valid=jnp.asarray(valid),
         )
 
-    def process_frame(self, frame_bgr: np.ndarray) -> dict:
+    def process_frame(self, frame_bgr: np.ndarray, _gray=None,
+                      _res=None) -> dict:
         """Process one BGR frame.  Returns a result dict with the decision
-        chain (used by tests and the metrics layer)."""
+        chain (used by tests and the metrics layer).  ``_gray``/``_res``:
+        internal — a speculatively-dispatched fused-frontend result from
+        process_stream's pipeline-parallel overlap."""
         t_start = time.perf_counter()
-        result = self._process_frame_inner(frame_bgr)
+        result = self._process_frame_inner(frame_bgr, _gray, _res)
         # per-frame stage timing (SURVEY §5 tracing: structured, per-stage)
         self.log.emit("frame_timing", None, frame_idx=self.frame_idx,
                       status=result.get("status"),
                       total_ms=round((time.perf_counter() - t_start) * 1e3, 2))
         return result
 
-    def _process_frame_inner(self, frame_bgr: np.ndarray) -> dict:
+    def _fusable(self) -> bool:
+        """True when the fused single-dispatch tracked path applies."""
+        return (self.cfg.fused_frontend and self.cfg.pnp_first
+                and self.cfg.pnp_scale and self.map.num_keyframes > 0
+                and self.cfg.features_source == "orb_tpu")
+
+    def _ensure_front_state(self) -> int:
+        """Refresh the device mirror of the last keyframe if stale; returns
+        the last keyframe id."""
+        from bundle_adjustment_tpu.models import frontend
+
+        last_id = self.map.sorted_kf_ids()[-1]
+        if (self._front_state is None or self._front_state_kf != last_id
+                or self._front_dirty):
+            self._front_state = frontend.make_state(
+                self.map.keyframes[last_id], self.map.points(),
+                self.cfg.num_features)
+            self._front_state_kf = last_id
+            self._front_dirty = False
+        return last_id
+
+    def _fused_dispatch(self, gray: np.ndarray, frame_idx: int = None):
+        """Issue the fused tracked-frame dispatch against the CURRENT front
+        state (async; nothing is read back here).  The PnP RANSAC key is
+        derived from the TARGET frame index (fold_in), so a speculative
+        dispatch from process_stream and a sequential one for the same frame
+        are bit-identical."""
+        from bundle_adjustment_tpu.models import frontend
+
+        if frame_idx is None:
+            frame_idx = self.frame_idx
+        self._ensure_front_state()
+        fn = frontend.build_track_fn(
+            self.cfg.num_features, self.cfg.pyramid_levels,
+            self.cfg.pyramid_scale, float(self.cfg.fast_threshold),
+            gray.shape[0], gray.shape[1], self.cfg.ratio_test,
+            self.cfg.cross_check, self.use_pallas_matcher,
+            self.cfg.pnp_iters, self.cfg.pnp_reproj_err_px,
+            self.cfg.ransac_threshold_px, self.cfg.consistent_convention,
+        )
+        return fn(jnp.asarray(gray), self._front_state,
+                  jnp.asarray(self.K, jnp.float32),
+                  jax.random.fold_in(self._dispatch_key, frame_idx))
+
+    def process_stream(self, frames):
+        """Generator over per-frame results with PIPELINE-PARALLEL overlap
+        (SURVEY §2.5 PP row): frame N+1's fused tracked dispatch is issued
+        BEFORE frame N's scalar readback, so the device extracts/matches
+        frame N+1 while the host runs frame N's gates and bookkeeping — and,
+        on a remote-dispatch rig, the two tunnel round trips overlap.  The
+        speculation is against the current last-keyframe mirror; when frame
+        N turns out to be a keyframe (or relocalizes, or BA moves the map)
+        the speculative dispatch is discarded and reissued — rare by design.
+        Results are yielded in frame order with identical semantics to
+        process_frame."""
+        import cv2
+
+        pending = None  # (frame_bgr, gray, speculative TrackResult or None)
+        for frame_bgr in frames:
+            if pending is None:
+                pending = (frame_bgr, None, None)
+                continue
+            spec = gray = None
+            if self._fusable():
+                gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+                # pending will be frame_idx+1; this frame is frame_idx+2
+                spec = self._fused_dispatch(gray, self.frame_idx + 2)
+                token = (self._front_state_kf, self.map.num_keyframes)
+            yield self.process_frame(pending[0], pending[1], pending[2])
+            if spec is not None and (
+                    self._front_dirty
+                    or (self._front_state_kf, self.map.num_keyframes) != token):
+                spec = None  # map/pose state moved: speculation invalid
+            pending = (frame_bgr, gray, spec)
+        if pending is not None:
+            yield self.process_frame(pending[0], pending[1], pending[2])
+
+    def _process_frame_inner(self, frame_bgr: np.ndarray, gray=None,
+                             res=None) -> dict:
         import cv2
 
         self.frame_idx += 1
         self.log.frame(self.frame_idx)
-        gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+        if gray is None:
+            gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
 
         # fused tracked-frame path: ONE device dispatch + one scalar readback
         # (models/frontend.py); the staged path below remains for the first
         # frame, fused_frontend=False, cv2 feature injection, and non-PnP
         # configurations
-        if (self.cfg.fused_frontend and self.cfg.pnp_first
-                and self.cfg.pnp_scale and self.map.num_keyframes > 0
-                and self.cfg.features_source == "orb_tpu"):
-            return self._process_frame_fused(gray, frame_bgr)
+        if self._fusable():
+            return self._process_frame_fused(gray, frame_bgr, res=res)
 
         kp = self._extract(gray)
 
@@ -366,36 +447,23 @@ class VisualOdometryPipeline:
             "loop": loop_info,
         }
 
-    def _process_frame_fused(self, gray: np.ndarray, frame_bgr: np.ndarray) -> dict:
+    def _process_frame_fused(self, gray: np.ndarray, frame_bgr: np.ndarray,
+                             res=None) -> dict:
         """Tracked-frame path as one fused device dispatch (VERDICT round-1
         item 1): extract -> match -> PnP -> Sampson inliers -> keyframe
         metrics on device; gates + decision taxonomy on host from one small
         scalar readback.  Big arrays only cross the host boundary on keyframe
-        insertion / essential-RANSAC fallback (rare)."""
+        insertion / essential-RANSAC fallback (rare).  ``res``: an already-
+        issued speculative dispatch from process_stream's overlap."""
         import types
 
         from bundle_adjustment_tpu.models import frontend
         from bundle_adjustment_tpu.models.keyframe import decide_from_metrics
 
-        last_id = self.map.sorted_kf_ids()[-1]
+        last_id = self._ensure_front_state()
         last_kf = self.map.keyframes[last_id]
-        if (self._front_state is None or self._front_state_kf != last_id
-                or self._front_dirty):
-            self._front_state = frontend.make_state(
-                last_kf, self.map.points(), self.cfg.num_features)
-            self._front_state_kf = last_id
-            self._front_dirty = False
-
-        fn = frontend.build_track_fn(
-            self.cfg.num_features, self.cfg.pyramid_levels,
-            self.cfg.pyramid_scale, float(self.cfg.fast_threshold),
-            gray.shape[0], gray.shape[1], self.cfg.ratio_test,
-            self.cfg.cross_check, self.use_pallas_matcher,
-            self.cfg.pnp_iters, self.cfg.pnp_reproj_err_px,
-            self.cfg.ransac_threshold_px, self.cfg.consistent_convention,
-        )
-        res = fn(jnp.asarray(gray), self._front_state,
-                 jnp.asarray(self.K, jnp.float32), self._next_key())
+        if res is None:
+            res = self._fused_dispatch(gray)
 
         # THE host sync of the tracked path: ONE packed (34,) vector carrying
         # every scalar and pose (each separate device_get is a full dispatch

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="resume from this checkpoint and save back to it at "
                         "the end of the run")
+    p.add_argument("--no-pipelined", action="store_true",
+                   help="disable pipeline-parallel frame overlap (issue frame "
+                        "N+1's fused dispatch only after frame N's readback)")
     return p
 
 
@@ -154,14 +157,25 @@ def main(argv=None) -> dict:
 
         jax.profiler.start_trace(os.path.join(args.out, "jax_trace"))
 
+    def _skip(src, n):
+        for i, f in enumerate(src):
+            if i >= n:
+                yield f
+
+    if resumed_frames:
+        frames = _skip(frames, resumed_frames)
+
     t0 = time.perf_counter()
     n_frames = 0
-    for frame in frames:
-        if resumed_frames > 0:
-            resumed_frames -= 1
-            continue
-        pipe.process_frame(frame)
-        n_frames += 1
+    if args.no_pipelined:
+        for frame in frames:
+            pipe.process_frame(frame)
+            n_frames += 1
+    else:
+        # pipeline-parallel: frame N+1's fused dispatch overlaps frame N's
+        # readback + host bookkeeping (models/pipeline.py::process_stream)
+        for _ in pipe.process_stream(frames):
+            n_frames += 1
     elapsed = time.perf_counter() - t0
 
     if args.checkpoint:

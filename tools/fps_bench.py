@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool):
+def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool,
+             pipelined: bool = False):
     from bundle_adjustment_tpu.config import (BAConfig, CameraModel,
                                               KeyframeCriteria, PipelineConfig)
     from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
@@ -53,10 +54,20 @@ def run_mode(frames, K, fused: bool, warmup: int, use_pallas: bool):
         pipe.process_frame(f)
     t0 = time.perf_counter()
     statuses, per_frame = [], []
-    for f in frames[warmup:]:
-        t1 = time.perf_counter()
-        statuses.append(pipe.process_frame(f).get("status"))
-        per_frame.append(time.perf_counter() - t1)
+    if pipelined:
+        # pipeline-parallel overlap (process_stream): per-frame time is the
+        # inter-yield gap
+        t1 = t0
+        for r in pipe.process_stream(frames[warmup:]):
+            now = time.perf_counter()
+            statuses.append(r.get("status"))
+            per_frame.append(now - t1)
+            t1 = now
+    else:
+        for f in frames[warmup:]:
+            t1 = time.perf_counter()
+            statuses.append(pipe.process_frame(f).get("status"))
+            per_frame.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
     n = len(frames) - warmup
     tracked_ms = [1e3 * t for t, s in zip(per_frame, statuses)
@@ -90,6 +101,8 @@ def main(argv=None):
                                          seed=args.seed)
     use_pallas = jax.default_backend() == "tpu"
 
+    fps_pipe, ms_p, nt_p, kf_p = run_mode(frames, K, True, args.warmup,
+                                          use_pallas, pipelined=True)
     fps_fused, ms_f, nt_f, kf_f = run_mode(frames, K, True, args.warmup,
                                            use_pallas)
     fps_staged, ms_s, nt_s, kf_s = run_mode(frames, K, False, args.warmup,
@@ -97,13 +110,16 @@ def main(argv=None):
 
     out = {
         "metric": "frontend_fps",
+        "pipelined_fps": round(fps_pipe, 3),
         "fused_fps": round(fps_fused, 3),
         "staged_fps": round(fps_staged, 3),
+        "pipelined_tracked_ms": round(ms_p, 1),
         "fused_tracked_ms": round(ms_f, 1),
         "staged_tracked_ms": round(ms_s, 1),
+        "pp_overlap_speedup": round(ms_f / ms_p, 2) if ms_p == ms_p else None,
         "tracked_speedup": round(ms_s / ms_f, 2) if ms_f == ms_f else None,
-        "tracked_frames": [nt_f, nt_s],
-        "keyframes": [kf_f, kf_s],
+        "tracked_frames": [nt_p, nt_f, nt_s],
+        "keyframes": [kf_p, kf_f, kf_s],
         "frames": args.frames,
         "backend": jax.default_backend(),
     }
