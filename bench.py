@@ -287,10 +287,11 @@ def bench_global_ba():
                                               repeats=repeats)
         return 1.0 / per_iter, spread, stats_box["stats"]
 
-    def run_grid(iters):
+    def run_grid(iters, bf16=False):
         out = ba_grid.ba_solve_grid(
             grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True)
+            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True,
+            cg_bf16=bf16)
         return jax.device_get(out[3])
 
     def run_flat(iters):
@@ -301,9 +302,48 @@ def bench_global_ba():
 
     # ~20 ms/iter grid, ~120 ms/iter flat: spans sized for >=500 ms deltas
     grid_its, g_spread, g_stats = measure(run_grid, 51, repeats=6)
+    bf16_its, _, bf16_stats = measure(
+        lambda iters: run_grid(iters, bf16=True), 51, repeats=6)
     flat_its, _, _ = measure(run_flat, 11, repeats=4)
+    # bf16 camera reductions are the headline only if they hold final cost
+    # (LM accept/reject absorbs PCG direction noise; verify, don't assume)
+    bf16_ok = float(bf16_stats.final_sq) <= 1.5 * float(g_stats.final_sq)
     return (grid_its, float(g_stats.initial_sq), float(g_stats.final_sq),
-            flat_its, g_spread)
+            flat_its, g_spread, bf16_its if bf16_ok else None,
+            float(bf16_stats.final_sq))
+
+
+def bench_global_c1000(repeats=3):
+    """Stability + throughput datapoint at lehmanL ambition scale: C=1000
+    cameras, P=120k points, O=480k observations (VERDICT r2 #4).  bf16
+    camera reductions (the f32 one-hot alone would be 1.9 GB per pass)."""
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    rng = np.random.default_rng(13)
+    prob = make_global_problem(rng, C=1000, P=120000)
+    grid = ba_grid.from_flat(prob)
+
+    def run(iters):
+        out = ba_grid.ba_solve_grid(
+            grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True,
+            cg_bf16=True)
+        return jax.device_get(out[3])
+
+    def best_of(iters):
+        st = run(iters)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            st = run(iters)
+            best = min(best, time.perf_counter() - t0)
+        return best, st
+
+    d1, _ = best_of(1)
+    dK, stats = best_of(21)
+    per_iter = (dK - d1) / max(int(stats.iterations) - 1, 1)
+    assert np.isfinite(float(stats.final_sq))
+    return (1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq))
 
 
 def device_peak_flops():
@@ -465,10 +505,16 @@ def main():
     match_s, match_flops_s, match_spread = bench_matcher()
     orb_s, orb_spread = bench_orb()
     try:
-        g_its, g_init, g_final, g_flat_its, g_spread = bench_global_ba()
+        (g_its, g_init, g_final, g_flat_its, g_spread, g_bf16_its,
+         g_bf16_final) = bench_global_ba()
     except Exception as e:  # global-scale BA is auxiliary; never fail bench
         g_its, g_init, g_final, g_flat_its, g_spread = (
             f"error: {e}", None, None, None, None)
+        g_bf16_its, g_bf16_final = None, None
+    try:
+        c1000_its, c1000_init, c1000_final = bench_global_c1000()
+    except Exception as e:
+        c1000_its, c1000_init, c1000_final = f"error: {e}", None, None
 
     fps, tracked_ms = None, None
     if "--no-fps" not in sys.argv:
@@ -515,6 +561,17 @@ def main():
                                   if isinstance(g_its, float) else g_its),
         "ba_global_spread_pct": (round(100 * g_spread, 1)
                                  if isinstance(g_spread, float) else None),
+        "ba_global_bf16_iters_per_s": (round(g_bf16_its, 2)
+                                       if isinstance(g_bf16_its, float)
+                                       else g_bf16_its),
+        "ba_global_bf16_final_sq": g_bf16_final,
+        "ba_global_c1000_iters_per_s": (round(c1000_its, 2)
+                                        if isinstance(c1000_its, float)
+                                        else c1000_its),
+        "ba_global_c1000_cost_reduction": (
+            round(c1000_init / max(c1000_final, 1e-9), 1)
+            if c1000_final else None),
+        "ba_global_c1000_problem": "C=1000, P=120000, O=480000, bf16 reduce",
         "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
                                        if isinstance(g_flat_its, float)
                                        else g_flat_its),

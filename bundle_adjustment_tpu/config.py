@@ -87,6 +87,12 @@ class BAConfig:
     # early iterations far below the cap either way.
     cg_iters: int = 32
     cg_tol: float = 1e-6          # relative-residual stop
+    # Above this many adjustable cameras, the PCG camera reductions run the
+    # MXU bf16 path (the f32 one-hot read is the dominant HBM traffic and
+    # scales O(C * observations); 0/1 is exact in bf16, reduction values
+    # round to ~3 decimal digits — direction noise the block-Jacobi
+    # preconditioner and LM accept/reject absorb).
+    cg_bf16_min_cameras: int = 512
     # Window-scale solver: the fused Pallas LM kernel (ops/ba_pallas.py) runs
     # the whole solve in one TPU kernel dispatch (~8 us/LM iteration on v5e,
     # ~190x the XLA grid solver).  Auto-falls-back to the XLA grid solver

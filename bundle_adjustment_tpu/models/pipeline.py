@@ -1108,6 +1108,8 @@ class VisualOdometryPipeline:
         if len(window) > self.cfg.ba.pcg_min_cameras:
             solver_kwargs.update(cg_iters=self.cfg.ba.cg_iters,
                                  cg_tol=self.cfg.ba.cg_tol)
+            if len(window) - n_fixed >= self.cfg.ba.cg_bf16_min_cameras:
+                solver_kwargs.update(cg_bf16=True)
         n_pt = int(np.prod(self.cfg.mesh_shape))
         if n_pt > 1 and len(jax.devices()) >= n_pt:
             # distributed Schur BA: points sharded over all mesh devices,
@@ -1137,11 +1139,13 @@ class VisualOdometryPipeline:
                 f"    -> Grid layout dropped {n} observations (max_slots cap)",
                 dropped_obs=int(n)))
             P_g, D_g = grid.cam_slot.shape
-            onehot_bytes = 4 * P_g * D_g * max(len(window) - n_fixed, 1)
+            oh_bytes_per = 2 if solver_kwargs.get("cg_bf16") else 4
+            onehot_bytes = oh_bytes_per * P_g * D_g * max(len(window) - n_fixed, 1)
             if onehot_bytes <= 2 << 30:
                 rv, tv, pts, stats = ba_grid.ba_solve_grid(
                     grid, cg_forcing=True, **solver_kwargs)
             else:
+                solver_kwargs.pop("cg_bf16", None)  # flat path: f32 only
                 rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)
         else:
             # single-device fast path: the scatter-free observation-grid

@@ -248,10 +248,20 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
     matvec is ONE MXU matmul against ``onehot_T`` (C_adj, P*D) — TPU scatters
     (segment_sum) are what made the flat PCG path ~75 ms/LM-iteration slower
     at this scale.  ``cg_tol`` may be a traced scalar (Eisenstat-Walker
-    forcing feeds a per-LM-iteration tolerance)."""
+    forcing feeds a per-LM-iteration tolerance).
+
+    The setup's FOUR camera reductions (U diag blocks, gradient, rhs
+    coupling, preconditioner blocks) ride ONE matmul: each pass over
+    onehot_T reads C_adj*P*D floats of one-hot — the dominant HBM traffic
+    at this scale — so k-columns are batched, not repeated.  ``onehot_T``
+    may be bf16 (0/1 is exact in bf16): the reduction then runs the MXU
+    bf16 path with f32 accumulation, halving the one-hot read; enabled by
+    the caller above ~512 cameras where the f32 one-hot outgrows VMEM-
+    friendly tiling (see ba_solve_grid_impl cg_bf16)."""
     C = rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
     P, D = p.cam_slot.shape
+    bf16_reduce = onehot_T.dtype == jnp.bfloat16
 
     r, Jc, Jp = _grid_terms(rvecs, tvecs, points, p)
     a = jnp.abs(r)
@@ -266,24 +276,44 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
     def cam_reduce(rows):
         """(P, D, ...) observation rows -> (C_adj, ...) via one MXU matmul."""
         flat = rows.reshape(P * D, -1)
-        return (onehot_T @ flat).reshape((C_adj,) + rows.shape[2:])
+        if bf16_reduce:
+            out = jnp.dot(onehot_T, flat.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        else:
+            out = onehot_T @ flat
+        return out.reshape((C_adj,) + rows.shape[2:])
 
-    U = cam_reduce(_jtj(Jc, Jc, w))                             # (C', 6, 6)
-    g_c = cam_reduce(jnp.sum(Jc_w * r[..., None], axis=-2))     # (C', 6)
     V = jnp.sum(_jtj(Jp, Jp, w), axis=1)                        # (P, 3, 3)
     g_p = jnp.sum(Jp_w * r[..., None], axis=(1, 2))             # (P, 3)
     Y = _jtj(Jc, Jp, w)                                         # (P, D, 6, 3)
 
-    eyec = jnp.eye(6, dtype=U.dtype)
     eyep = jnp.eye(3, dtype=V.dtype)
-    U = U + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
     V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V))) + 1e-6 * eyep)
     Vinv = ba_flat._inv3(V)
     Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
+    z_p = _mv(Vinv, g_p)
+    YV = _mm(Y, Vinv[:, None])                                  # (P, D, 6, 3)
+    D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
+
+    # ONE batched camera reduction for the whole setup:
+    #   [U blocks (36) | gradient (6) | rhs coupling Wz (6) | precond (36)]
+    setup_rows = jnp.concatenate([
+        _jtj(Jc, Jc, w).reshape(P, D, 36),
+        jnp.sum(Jc_w * r[..., None], axis=-2),
+        jnp.sum(Y * z_p[:, None, None, :], axis=-1),
+        D_o.reshape(P, D, 36),
+    ], axis=-1)                                                  # (P, D, 84)
+    red = cam_reduce(setup_rows)                                 # (C', 84)
+    U = red[:, :36].reshape(C_adj, 6, 6)
+    g_c = red[:, 36:42]
+    Wz = red[:, 42:48]
+    Dred = red[:, 48:].reshape(C_adj, 6, 6)
+
+    eyec = jnp.eye(6, dtype=U.dtype)
+    damp = lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
+    U = U + damp
 
     # rhs b = -g_c + W V^-1 g_p
-    z_p = _mv(Vinv, g_p)
-    Wz = cam_reduce(jnp.sum(Y * z_p[:, None, None, :], axis=-1))
     b = -g_c + Wz                                               # (C', 6)
 
     pad = jnp.zeros((n_fixed, 6), U.dtype)
@@ -300,9 +330,6 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
 
     # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S (exact
     # because one (camera, point) pair has at most one observation slot)
-    YV = _mm(Y, Vinv[:, None])                                  # (P, D, 6, 3)
-    D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
-    Dred = cam_reduce(D_o)
     Minv = _inv6(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
 
     dc_blocks = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, cg_tol)
@@ -332,6 +359,7 @@ def ba_solve_grid_impl(
     cg_iters: int = 0,
     cg_tol: float = 1e-6,
     cg_forcing: bool = True,
+    cg_bf16: bool = False,
 ):
     """LM loop identical in semantics to ops/ba.ba_solve, on the grid layout.
 
@@ -349,9 +377,15 @@ def ba_solve_grid_impl(
     # the PCG path builds the transposed layout directly (no 2x(P*D*C') relayout)
     if cg_iters > 0:
         onehot = None
+        # bf16 one-hot (0/1 is exact in bf16) halves the dominant HBM read of
+        # every camera reduction; reduction values go through the MXU bf16
+        # path with f32 accumulation (~3-decimal-digit rounding on the
+        # reduced terms — PCG direction noise that block-Jacobi + LM
+        # accept/reject absorb; enable at global scale, see config.ba)
+        oh_dtype = jnp.bfloat16 if cg_bf16 else p.uv.dtype
         onehot_T = (jnp.arange(C_adj)[:, None]
                     == (p.cam_slot.reshape(-1)[None, :] - n_fixed)
-                    ).astype(p.uv.dtype)                # (C_adj, P*D)
+                    ).astype(oh_dtype)                  # (C_adj, P*D)
     else:
         onehot = (p.cam_slot[..., None] - n_fixed
                   == jnp.arange(C_adj)[None, None, :]).astype(p.uv.dtype)
@@ -430,5 +464,6 @@ def ba_solve_grid_impl(
 
 
 ba_solve_grid = jax.jit(
-    ba_solve_grid_impl, static_argnames=("n_fixed", "cg_iters", "cg_forcing"),
+    ba_solve_grid_impl,
+    static_argnames=("n_fixed", "cg_iters", "cg_forcing", "cg_bf16"),
 )

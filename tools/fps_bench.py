@@ -101,10 +101,12 @@ def main(argv=None):
                                          seed=args.seed)
     use_pallas = jax.default_backend() == "tpu"
 
-    fps_pipe, ms_p, nt_p, kf_p = run_mode(frames, K, True, args.warmup,
-                                          use_pallas, pipelined=True)
+    # fused first so it pays the shared jit compiles; pipelined then measures
+    # pure overlap, not cache priming
     fps_fused, ms_f, nt_f, kf_f = run_mode(frames, K, True, args.warmup,
                                            use_pallas)
+    fps_pipe, ms_p, nt_p, kf_p = run_mode(frames, K, True, args.warmup,
+                                          use_pallas, pipelined=True)
     fps_staged, ms_s, nt_s, kf_s = run_mode(frames, K, False, args.warmup,
                                             use_pallas)
 
