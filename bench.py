@@ -232,13 +232,22 @@ def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
     c_ids = np.arange(C)
     rvecs = np.stack([0.10 * np.sin(c_ids / 10), 0.10 * np.cos(c_ids / 13),
                       0.05 * np.sin(c_ids / 7)], axis=1)
-    tvecs = np.stack([0.3 * c_ids, 0.05 * np.sin(c_ids / 5),
-                      0.02 * c_ids], axis=1)
     Rs = np.stack([so3_exp_np(r) for r in rvecs])
+    # camera CENTERS on a smooth forward trajectory; extrinsic translation is
+    # t = -R c so projection magnitudes stay bounded at ANY C (an earlier
+    # version used t directly as both center and extrinsic, which made uv —
+    # and the f32 squared cost — grow with C until, at C=1000, float32 could
+    # not even represent an LM improvement at cost ~1e19)
+    centers = np.stack([0.3 * c_ids, 0.05 * np.sin(c_ids / 5),
+                        0.02 * c_ids], axis=1)
+    tvecs = -np.einsum("cij,cj->ci", Rs, centers)
 
     base = (np.arange(P) * max(C - obs_per_pt, 1) // P).astype(np.int32)
-    X = tvecs[base] * np.array([1.0, 1.0, 0.0]) + rng.uniform(
-        [-4, -4, 4], [4, 4, 16], size=(P, 3))
+    # each point sits in FRONT of its base camera at depth 4-16, offset
+    # within a generous frustum — visible from the ~4 consecutive cameras
+    # that observe it (band-diagonal visibility)
+    offs = rng.uniform([-4, -4, 4], [4, 4, 16], size=(P, 3))
+    X = centers[base] + np.einsum("pji,pj->pi", Rs[base], offs)
 
     cam_idx = (base[:, None] + np.arange(obs_per_pt)[None, :]).reshape(-1)
     cam_idx = np.minimum(cam_idx, C - 1).astype(np.int32)
@@ -248,8 +257,14 @@ def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
     uv += rng.normal(size=uv.shape) * 0.5
     valid = Xc[:, 2] > 0.5
 
-    rv_p = rvecs + rng.normal(size=rvecs.shape) * 0.005 * (np.arange(C)[:, None] > 0)
-    tv_p = tvecs + rng.normal(size=tvecs.shape) * 0.02 * (np.arange(C)[:, None] > 0)
+    # perturb CENTER and rotation, then rebuild t = -R c: perturbing the
+    # extrinsic (rvec, tvec) independently moves the implied camera center
+    # by |delta_R| * |t|, which grows with trajectory length
+    free = (np.arange(C)[:, None] > 0)
+    rv_p = rvecs + rng.normal(size=rvecs.shape) * 0.005 * free
+    c_p = centers + rng.normal(size=centers.shape) * 0.02 * free
+    R_p = np.stack([so3_exp_np(r) for r in rv_p])
+    tv_p = -np.einsum("cij,cj->ci", R_p, c_p)
     return ba.BAProblem(
         rvecs=jnp.asarray(rv_p, jnp.float32),
         tvecs=jnp.asarray(tv_p, jnp.float32),
