@@ -1143,7 +1143,9 @@ class VisualOdometryPipeline:
             onehot_bytes = oh_bytes_per * P_g * D_g * max(len(window) - n_fixed, 1)
             if onehot_bytes <= 2 << 30:
                 rv, tv, pts, stats = ba_grid.ba_solve_grid(
-                    grid, cg_forcing=True, **solver_kwargs)
+                    grid, cg_forcing=True,
+                    cg_precond_group=self.cfg.ba.cg_precond_group,
+                    **solver_kwargs)
             else:
                 solver_kwargs.pop("cg_bf16", None)  # flat path: f32 only
                 rv, tv, pts, stats = ba.ba_solve(problem, **solver_kwargs)

@@ -163,13 +163,19 @@ def _psum(x, axis_name):
 def _pcg_blocked(matvec, b, Minv, iters, tol):
     """Preconditioned conjugate gradient on the reduced camera system,
     matrix-free.  ``b``/state are (C_adj, 6) block vectors; ``Minv`` is the
-    (C_adj, 6, 6) block-Jacobi preconditioner.  Runs to ``iters`` or a
+    (C_adj, 6, 6) block-Jacobi preconditioner OR a callable r -> M^-1 r
+    (grouped preconditioners, ops/ba_grid).  Runs to ``iters`` or a
     relative-residual ``tol``, whichever first (while_loop — no wasted
     iterations once converged)."""
+    if callable(Minv):
+        apply_precond = Minv
+    else:
+        def apply_precond(r):
+            return jnp.einsum("cij,cj->ci", Minv, r, precision=_HIGHEST)
     bnorm = jnp.sqrt(jnp.sum(b * b))
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = jnp.einsum("cij,cj->ci", Minv, r0, precision=_HIGHEST)
+    z0 = apply_precond(r0)
     rz0 = jnp.sum(r0 * z0)
 
     def cond(s):
@@ -183,7 +189,7 @@ def _pcg_blocked(matvec, b, Minv, iters, tol):
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = jnp.einsum("cij,cj->ci", Minv, r, precision=_HIGHEST)
+        z = apply_precond(r)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p

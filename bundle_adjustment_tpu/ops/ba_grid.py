@@ -237,8 +237,43 @@ def _solve_step(rvecs, tvecs, points, p: BAProblemGrid, lam, delta, n_fixed,
     return d_r, d_t, dp
 
 
+def _group_precond_rows(Y, YV, cam_slot, n_fixed, g):
+    """Per-observation rows of the GROUPED block-Jacobi preconditioner.
+
+    Cameras (adjusted index a = cam - n_fixed) partition into groups of
+    ``g`` consecutive cameras; the preconditioner is the EXACT principal
+    submatrix of the Schur complement S for each group — every
+    within-group coupling block S_{c1,c2} = -sum_p Y(c1,p) V^-1 Y(c2,p)^T
+    is captured, whatever its offset (no band assumption, so the blocks
+    stay principal submatrices of SPD S and the preconditioner stays SPD
+    under loop-closure/covisibility fill-in).
+
+    Returns (P, D, g*36) rows: row (p, d1) holds, for each group-local
+    position l, the 6x6 block sum over slots d2 of the same point whose
+    camera shares d1's group and sits at local position l — reduced by
+    camera via the SAME one-hot matmul as the rest of the setup (the
+    diagonal l == local(d1) term doubles as the plain block-Jacobi Dred).
+    """
+    P, D = cam_slot.shape
+    a = cam_slot - n_fixed                                   # (P, D)
+    grp = jnp.where(a >= 0, a // g, -1)
+    loc = a % g
+    same = (grp[:, :, None] == grp[:, None, :]) & (a[:, :, None] >= 0) \
+        & (a[:, None, :] >= 0)                               # (P, D, D)
+    dt = Y.dtype
+    rows = jnp.zeros((P, D, g, 36), dt)
+    for d2 in range(D):
+        # q[p, d1] = YV[p, d1] @ Y[p, d2]^T  (6x6), fused multiply-sum
+        q = jnp.sum(YV[..., :, None, :] * Y[:, d2, None, None, :, :],
+                    axis=-1)                                 # (P, D, 6, 6)
+        oh = (loc[:, d2, None] == jnp.arange(g)[None, :])[:, None, :] \
+            & same[:, :, d2, None]                           # (P, D, g)
+        rows = rows + q.reshape(P, D, 1, 36) * oh[..., None].astype(dt)
+    return rows.reshape(P, D, g * 36)
+
+
 def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
-                    n_fixed, onehot_T, cg_iters, cg_tol):
+                    n_fixed, onehot_T, cg_iters, cg_tol, pc_group=1):
     """One damped Schur step on the grid layout with a MATRIX-FREE PCG camera
     solve — the global-scale path (C in the hundreds) where the dense step's
     (P, C', 6, 3) coupling tensor and (6C')² system stop scaling.
@@ -293,21 +328,24 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
     Vinv = jnp.where(p.point_mask[:, None, None], Vinv, 0.0)
     z_p = _mv(Vinv, g_p)
     YV = _mm(Y, Vinv[:, None])                                  # (P, D, 6, 3)
-    D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
+    if pc_group > 1:
+        pc_rows = _group_precond_rows(Y, YV, p.cam_slot, n_fixed, pc_group)
+    else:
+        D_o = jnp.sum(YV[..., :, None, :] * Y[..., None, :, :], axis=-1)
+        pc_rows = D_o.reshape(P, D, 36)
 
     # ONE batched camera reduction for the whole setup:
-    #   [U blocks (36) | gradient (6) | rhs coupling Wz (6) | precond (36)]
+    #   [U blocks (36) | gradient (6) | rhs coupling Wz (6) | precond blocks]
     setup_rows = jnp.concatenate([
         _jtj(Jc, Jc, w).reshape(P, D, 36),
         jnp.sum(Jc_w * r[..., None], axis=-2),
         jnp.sum(Y * z_p[:, None, None, :], axis=-1),
-        D_o.reshape(P, D, 36),
-    ], axis=-1)                                                  # (P, D, 84)
-    red = cam_reduce(setup_rows)                                 # (C', 84)
+        pc_rows,
+    ], axis=-1)                                  # (P, D, 48 + 36*pc_group)
+    red = cam_reduce(setup_rows)
     U = red[:, :36].reshape(C_adj, 6, 6)
     g_c = red[:, 36:42]
     Wz = red[:, 42:48]
-    Dred = red[:, 48:].reshape(C_adj, 6, 6)
 
     eyec = jnp.eye(6, dtype=U.dtype)
     damp = lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U))) + 1e-6 * eyec)
@@ -328,9 +366,39 @@ def _solve_step_pcg(rvecs, tvecs, points, p: BAProblemGrid, lam, delta,
         Ux = _mv(U, x)
         return Ux - WVWx
 
-    # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S (exact
-    # because one (camera, point) pair has at most one observation slot)
-    Minv = _inv6(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
+    if pc_group > 1:
+        # grouped block-Jacobi: exact (6g x 6g) group-diagonal blocks of S,
+        # inverted batched once per LM iteration; the apply per CG
+        # iteration is one batched (nG, 6g) @ (nG, 6g, 6g) contraction
+        g = pc_group
+        nG = -(-C_adj // g)
+        pad_n = nG * g - C_adj
+        grp = red[:, 48:].reshape(C_adj, g, 6, 6)
+        eye6 = jnp.eye(6, dtype=U.dtype)
+        if pad_n:
+            Ud = jnp.concatenate(
+                [U, jnp.broadcast_to(eye6, (pad_n, 6, 6))], axis=0)
+            grp = jnp.concatenate(
+                [grp, jnp.zeros((pad_n, g, 6, 6), grp.dtype)], axis=0)
+        else:
+            Ud = U
+        Mg = -grp.reshape(nG, g, g, 6, 6)
+        di = jnp.arange(g)
+        Mg = Mg.at[:, di, di].add(Ud.reshape(nG, g, 6, 6))
+        M = Mg.transpose(0, 1, 3, 2, 4).reshape(nG, 6 * g, 6 * g)
+        Minv_g = jnp.linalg.inv(M + 1e-8 * jnp.eye(6 * g, dtype=M.dtype))
+
+        def Minv(rr):
+            if pad_n:
+                rr = jnp.concatenate(
+                    [rr, jnp.zeros((pad_n, 6), rr.dtype)], axis=0)
+            z = _mv(Minv_g, rr.reshape(nG, 6 * g))
+            return z.reshape(nG * g, 6)[:C_adj]
+    else:
+        # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S (exact
+        # because one (camera, point) pair has at most one observation slot)
+        Dred = red[:, 48:].reshape(C_adj, 6, 6)
+        Minv = _inv6(U - Dred + 1e-8 * jnp.eye(6, dtype=U.dtype))
 
     dc_blocks = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, cg_tol)
 
@@ -360,6 +428,7 @@ def ba_solve_grid_impl(
     cg_tol: float = 1e-6,
     cg_forcing: bool = True,
     cg_bf16: bool = False,
+    cg_precond_group: int = 1,
 ):
     """LM loop identical in semantics to ops/ba.ba_solve, on the grid layout.
 
@@ -423,7 +492,7 @@ def ba_solve_grid_impl(
                 tol = jnp.asarray(cg_tol, p.uv.dtype)
             d_r, d_t, d_p, bnorm = _solve_step_pcg(
                 rv, tv, pt, p, lam, huber_delta, n_fixed, onehot_T, cg_iters,
-                tol)
+                tol, pc_group=cg_precond_group)
             b0 = jnp.where(b0 > 0.0, b0, bnorm)
             blast = bnorm
         else:
@@ -465,5 +534,6 @@ def ba_solve_grid_impl(
 
 ba_solve_grid = jax.jit(
     ba_solve_grid_impl,
-    static_argnames=("n_fixed", "cg_iters", "cg_forcing", "cg_bf16"),
+    static_argnames=("n_fixed", "cg_iters", "cg_forcing", "cg_bf16",
+                     "cg_precond_group"),
 )

@@ -179,3 +179,24 @@ def test_pcg_sharded_matches_single(rng):
         cg_iters=200, cg_tol=1e-8)
     np.testing.assert_allclose(np.asarray(rv8), np.asarray(rv1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(tv8), np.asarray(tv1), atol=1e-3)
+
+
+def test_grid_pcg_grouped_precond_matches(rng):
+    """The grouped block-Jacobi preconditioner (exact 6g x 6g group-diagonal
+    blocks of S) changes CG convergence RATE only — the grid PCG solve must
+    land on the same optimum as plain block-Jacobi (g=1), for group sizes
+    that divide C_adj and ones that leave a padded tail."""
+    from bundle_adjustment_tpu.ops import ba_grid
+
+    prob, _ = make_chain_problem(np.random.default_rng(9), n_cams=40)
+    grid = ba_grid.from_flat(prob)
+    base = ba_grid.ba_solve_grid(
+        grid, n_fixed=1, max_iterations=12, ftol=0.0, xtol=0.0,
+        lambda_max=1e30, cg_iters=64, cg_tol=1e-8, cg_forcing=False)
+    for g in (4, 8, 16):  # 39 adjustable cams: every g pads a tail
+        out = ba_grid.ba_solve_grid(
+            grid, n_fixed=1, max_iterations=12, ftol=0.0, xtol=0.0,
+            lambda_max=1e30, cg_iters=64, cg_tol=1e-8, cg_forcing=False,
+            cg_precond_group=g)
+        assert float(out[3].final_sq) <= 1.02 * float(base[3].final_sq), (
+            g, float(out[3].final_sq), float(base[3].final_sq))

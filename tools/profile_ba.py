@@ -171,6 +171,39 @@ def main_global(args):
     stages["precond"] = marginal_time(scan_chain_of(
         f_precond, Y0, lambda Y, out: Y + eps * jnp.sum(out)), k_hi=16)
 
+    g = 16  # grouped block-Jacobi (config.ba.cg_precond_group bench setting)
+    nG = -(-C_adj // g)
+    pad_n = nG * g - C_adj
+
+    def f_precond_grouped(Y):
+        YV = ba_grid._mm(Y, Vinv0[:, None])
+        rows = ba_grid._group_precond_rows(Y, YV, grid.cam_slot, n_fixed, g)
+        red = cam_reduce(rows).reshape(C_adj, g, 6, 6)
+        eye6 = jnp.eye(6, dtype=U0.dtype)
+        Ud = jnp.concatenate(
+            [U0, jnp.broadcast_to(eye6, (pad_n, 6, 6))], axis=0) \
+            if pad_n else U0
+        grp = jnp.concatenate(
+            [red, jnp.zeros((pad_n, g, 6, 6), red.dtype)], axis=0) \
+            if pad_n else red
+        Mg = -grp.reshape(nG, g, g, 6, 6)
+        di = jnp.arange(g)
+        Mg = Mg.at[:, di, di].add(Ud.reshape(nG, g, 6, 6))
+        M = Mg.transpose(0, 1, 3, 2, 4).reshape(nG, 6 * g, 6 * g)
+        return jnp.linalg.inv(M + 1e-8 * jnp.eye(6 * g, dtype=M.dtype))
+    Minv_g0 = jax.jit(lambda: f_precond_grouped(Y0))()
+    stages["precond_grouped_build"] = marginal_time(scan_chain_of(
+        f_precond_grouped, Y0, lambda Y, out: Y + eps * jnp.sum(out)),
+        k_hi=16)
+
+    def f_precond_grouped_apply(rr):
+        rp = jnp.concatenate([rr, jnp.zeros((pad_n, 6), rr.dtype)], axis=0) \
+            if pad_n else rr
+        z = ba_grid._mv(Minv_g0, rp.reshape(nG, 6 * g))
+        return z.reshape(nG * g, 6)[:C_adj]
+    stages["precond_grouped_apply"] = marginal_time(scan_chain_of(
+        f_precond_grouped_apply, b0, lambda x, out: out), k_hi=64)
+
     pad = jnp.zeros((n_fixed, 6), U0.dtype)
 
     def f_matvec(x):
