@@ -302,32 +302,33 @@ def bench_global_ba():
                                               repeats=repeats)
         return 1.0 / per_iter, spread, stats_box["stats"]
 
-    def run_grid(iters, bf16=False, pc_group=1):
+    def run_grid(iters, cg_iters=8):
+        # cap 8 = the pipeline default: final cost identical to cap 32 at
+        # this scale (see config.BAConfig.cg_iters measurements), 1.8x faster
         out = ba_grid.ba_solve_grid(
             grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True,
-            cg_bf16=bf16, cg_precond_group=pc_group)
+            lambda_max=1e30, cg_iters=cg_iters, cg_tol=1e-6, cg_forcing=True)
         return jax.device_get(out[3])
 
     def run_flat(iters):
         out = ba.ba_solve(prob, n_fixed=1, max_iterations=iters, ftol=0.0,
-                          xtol=0.0, lambda_max=1e30, cg_iters=32,
+                          xtol=0.0, lambda_max=1e30, cg_iters=8,
                           cg_tol=1e-6)
         return jax.device_get(out[3])
 
-    # ~20 ms/iter grid, ~120 ms/iter flat: spans sized for >=500 ms deltas
-    jac_its, _, jac_stats = measure(run_grid, 51, repeats=6)
-    grid_its, g_spread, g_stats = measure(
-        lambda iters: run_grid(iters, pc_group=16), 51, repeats=6)
+    # ~15 ms/iter grid, ~120 ms/iter flat: spans sized for >=500 ms deltas
+    grid_its, g_spread, g_stats = measure(run_grid, 51, repeats=6)
+    cg32_its, _, cg32_stats = measure(
+        lambda iters: run_grid(iters, cg_iters=32), 51, repeats=6)
     flat_its, _, _ = measure(run_flat, 11, repeats=4)
-    # the grouped preconditioner (exact 16-camera group-diagonal blocks of
-    # S) is the headline only if it holds final cost vs plain block-Jacobi
-    ok = float(g_stats.final_sq) <= 1.5 * float(jac_stats.final_sq)
+    # cap-8 is the headline only while it holds final cost vs cap-32 (the
+    # guard that justifies the measured-cap protocol)
+    ok = float(g_stats.final_sq) <= 1.1 * float(cg32_stats.final_sq)
     if not ok:
-        grid_its, g_stats = jac_its, jac_stats
+        grid_its, g_stats = cg32_its, cg32_stats
     return (grid_its, float(g_stats.initial_sq), float(g_stats.final_sq),
-            flat_its, g_spread, jac_its,
-            float(jac_stats.final_sq))
+            flat_its, g_spread, cg32_its,
+            float(cg32_stats.final_sq))
 
 
 def bench_global_c1000(repeats=3):
@@ -343,8 +344,8 @@ def bench_global_c1000(repeats=3):
     def run(iters):
         out = ba_grid.ba_solve_grid(
             grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-            lambda_max=1e30, cg_iters=32, cg_tol=1e-6, cg_forcing=True,
-            cg_bf16=True, cg_precond_group=16)
+            lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True,
+            cg_bf16=True)
         return jax.device_get(out[3])
 
     def best_of(iters):
@@ -522,12 +523,12 @@ def main():
     match_s, match_flops_s, match_spread = bench_matcher()
     orb_s, orb_spread = bench_orb()
     try:
-        (g_its, g_init, g_final, g_flat_its, g_spread, g_jac_its,
-         g_jac_final) = bench_global_ba()
+        (g_its, g_init, g_final, g_flat_its, g_spread, g_cg32_its,
+         g_cg32_final) = bench_global_ba()
     except Exception as e:  # global-scale BA is auxiliary; never fail bench
         g_its, g_init, g_final, g_flat_its, g_spread = (
             f"error: {e}", None, None, None, None)
-        g_jac_its, g_jac_final = None, None
+        g_cg32_its, g_cg32_final = None, None
     try:
         c1000_its, c1000_init, c1000_final = bench_global_c1000()
     except Exception as e:
@@ -578,21 +579,21 @@ def main():
                                   if isinstance(g_its, float) else g_its),
         "ba_global_spread_pct": (round(100 * g_spread, 1)
                                  if isinstance(g_spread, float) else None),
-        "ba_global_blockjacobi_iters_per_s": (round(g_jac_its, 2)
-                                              if isinstance(g_jac_its, float)
-                                              else g_jac_its),
+        "ba_global_cg32_iters_per_s": (round(g_cg32_its, 2)
+                                       if isinstance(g_cg32_its, float)
+                                       else g_cg32_its),
         "ba_global_c1000_iters_per_s": (round(c1000_its, 2)
                                         if isinstance(c1000_its, float)
                                         else c1000_its),
         "ba_global_c1000_cost_reduction": (
             round(c1000_init / max(c1000_final, 1e-9), 1)
             if c1000_final else None),
-        "ba_global_c1000_problem": "C=1000, P=120000, O=480000, bf16 reduce",
+        "ba_global_c1000_problem": "C=1000, P=120000, O=480000, bf16 reduce, CG cap 8",
         "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
                                        if isinstance(g_flat_its, float)
                                        else g_flat_its),
         "ba_global_problem": ("C=200, P=30000, O=120000, grid PCG camera "
-                              "solve, 16-camera grouped preconditioner"),
+                              "solve, measured CG cap 8"),
         "ba_global_cost_reduction": (round(g_init / max(g_final, 1e-9), 1)
                                      if g_final else None),
         "frontend_fps_tracked": (round(fps, 3)

@@ -80,20 +80,24 @@ class BAConfig:
     # O(cg_iters * observations) in time and O(observations) in memory.
     pcg_min_cameras: int = 24
     # PCG iteration cap (early exit on cg_tol).  Measured on TPU v5e at
-    # C=200/P=30k/O=120k (band visibility): cap 100 costs 35 ms/LM-iter for
-    # final_sq 42.5k, cap 30 costs 22.7 ms for 44.0k, cap 10 costs 18.5 ms
-    # for 43.6k — LM accept/reject absorbs the inexact steps, so a tight cap
-    # buys ~1.6x wall-clock for <3% cost.  Eisenstat-Walker forcing keeps
-    # early iterations far below the cap either way.
-    cg_iters: int = 32
+    # C=200/P=30k/O=120k (band visibility, ~6 px rms initial error): the
+    # final cost after 50 LM iterations is IDENTICAL to 4 decimal places for
+    # caps 4/8/32 (3.7224e4 vs 3.7222e4) while per-LM-iteration wall time is
+    # 14.5 / 16.7 / 29.8 ms — LM accept/reject absorbs inexact steps, and
+    # each LM iteration's fixed cost (terms+setup+trial cost, ~12.7 ms)
+    # dominates once the CG loop is short.  Cap 8 keeps headroom for
+    # worse-conditioned real maps; Eisenstat-Walker forcing exits earlier
+    # when the gradient is small either way.
+    cg_iters: int = 8
     cg_tol: float = 1e-6          # relative-residual stop
     # Grouped block-Jacobi PCG preconditioner: exact (6g x 6g) group-diagonal
     # blocks of the Schur complement (g consecutive cameras per group),
-    # inverted batched once per LM iteration.  Captures the within-group
-    # coupling that plain block-Jacobi (g=1) ignores — on band-structured
-    # chains this cuts CG iterations severalfold for one extra batched
-    # inverse; 1 disables.
-    cg_precond_group: int = 8
+    # inverted batched once per LM iteration.  MEASURED NOT TO PAY at bench
+    # scales (C=200: g=16 costs +3 ms/LM-iter in setup and the saved CG
+    # iterations are worth less than that once the cap is 8) — kept
+    # config-gated (correctness-tested in tests/test_ba_pcg.py) for
+    # ill-conditioned maps where plain block-Jacobi stalls; 1 disables.
+    cg_precond_group: int = 1
     # Above this many adjustable cameras, the PCG camera reductions run the
     # MXU bf16 path (the f32 one-hot read is the dominant HBM traffic and
     # scales O(C * observations); 0/1 is exact in bf16, reduction values
