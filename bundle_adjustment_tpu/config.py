@@ -235,6 +235,7 @@ class PipelineConfig:
     loop_min_inliers: int = 12    # sim(3) RANSAC inliers required
     loop_sim3_tol_rel: float = 0.05   # inlier tol as fraction of scene scale
     loop_run_global_ba: bool = True   # polish the whole map after a closure
+    loop_ba_iters: int = 20       # LM cap for that polish (see loop_closure.py)
     loop_cooldown: int = 15       # keyframes between closure attempts
 
     # Pose-chain convention.  False (default) reproduces the reference's
