@@ -289,10 +289,6 @@ def try_close_loop(pipe, new_kf) -> Optional[dict]:
         # polish pass after the chain correction; capped separately from the
         # end-of-run global BA (a drift-corrected map needs far fewer LM
         # iterations, and on the CPU test backend 50 costs ~20 min at 170 KFs)
-        prev = cfg.ba.max_iterations
-        cfg.ba.max_iterations = min(prev, cfg.loop_ba_iters)
-        try:
-            info["ba"] = pipe.run_full_ba()
-        finally:
-            cfg.ba.max_iterations = prev
+        info["ba"] = pipe.run_full_ba(
+            max_iterations=min(cfg.ba.max_iterations, cfg.loop_ba_iters))
     return info

@@ -1049,17 +1049,22 @@ class VisualOdometryPipeline:
                      global_ba=True)
         return result
 
-    def run_full_ba(self) -> Optional[dict]:
+    def run_full_ba(self, max_iterations: Optional[int] = None
+                    ) -> Optional[dict]:
         """Full BA over ALL keyframes, including the newest (the reference's
         global BA always excludes it via the [-(w+1):-1] window — this is the
-        opt-in completion pass; see config.final_full_ba)."""
+        opt-in completion pass; see config.final_full_ba).  ``max_iterations``
+        overrides the config LM cap for THIS solve (loop-closure polish runs
+        with its own, smaller cap — config.loop_ba_iters)."""
         all_ids = self.map.sorted_kf_ids()
         if len(all_ids) < 3:
             return None
-        return self._solve_window(all_ids, all_ids, global_ba=True)
+        return self._solve_window(all_ids, all_ids, global_ba=True,
+                                  max_iterations=max_iterations)
 
     def _solve_window(self, window, all_ids, global_ba: bool = False,
-                      refine_kf_id: Optional[int] = None) -> Optional[dict]:
+                      refine_kf_id: Optional[int] = None,
+                      max_iterations: Optional[int] = None) -> Optional[dict]:
 
         n_fixed = max(1, min(self.cfg.ba.n_fixed, len(window) - 1))
         max_points, max_obs = self.cfg.ba.max_points, self.cfg.ba.max_obs
@@ -1090,7 +1095,8 @@ class VisualOdometryPipeline:
 
         solver_kwargs = dict(
             n_fixed=n_fixed,
-            max_iterations=self.cfg.ba.max_iterations,
+            max_iterations=(max_iterations if max_iterations is not None
+                            else self.cfg.ba.max_iterations),
             huber_delta=self.cfg.ba.huber_delta,
             lambda_init=self.cfg.ba.lambda_init,
             lambda_up=self.cfg.ba.lambda_up,

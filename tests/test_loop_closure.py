@@ -106,7 +106,10 @@ def test_loop_closure_on_drifted_ring():
         ba=BAConfig(window_size=4),
         consistent_convention=True,
         loop_closure=True, loop_min_gap=6, loop_min_matches=20,
-        loop_min_inliers=10, loop_run_global_ba=False,
+        loop_min_inliers=10,
+        # exercise the post-closure polish BA with its separate LM cap
+        # (regression: the cap override must not mutate the frozen config)
+        loop_run_global_ba=True, loop_ba_iters=5,
     )
     pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False))
 
