@@ -1133,12 +1133,16 @@ class VisualOdometryPipeline:
             P_s = -(-P_tot // n_pt)
             pts = jnp.asarray(np.asarray(pts_sh)[: n_pt * P_s].reshape(-1, 3)[:P_tot])
         elif "cg_iters" in solver_kwargs:
-            # large-window PCG path.  Preferred layout: the scatter-free grid
-            # (ops/ba_grid._solve_step_pcg — point sums are axis reductions,
-            # the camera reduction is one MXU matmul against a (C', P*D)
-            # one-hot).  The one-hot is the memory cost: fall back to the
-            # flat segment-sum path when it would exceed ~2 GB.
-            from bundle_adjustment_tpu.ops import ba_grid
+            # large-window PCG path.  On TPU, the fused Pallas kernels
+            # (ops/ba_global_pallas: in-kernel one-hot, f32 end-to-end —
+            # measured 5.7x the XLA grid path at C=200 and both faster and
+            # lower-cost than its bf16 reductions at C=1000).  Otherwise the
+            # scatter-free XLA grid layout (ops/ba_grid._solve_step_pcg —
+            # point sums are axis reductions, the camera reduction is one MXU
+            # matmul against a (C', P*D) one-hot); the materialized one-hot
+            # is its memory cost, so fall back to the flat segment-sum path
+            # when it would exceed ~2 GB.
+            from bundle_adjustment_tpu.ops import ba_global_pallas, ba_grid
 
             grid = ba_grid.from_flat(problem, on_drop=lambda n: self.log.emit(
                 "capacity_drop",
@@ -1147,7 +1151,14 @@ class VisualOdometryPipeline:
             P_g, D_g = grid.cam_slot.shape
             oh_bytes_per = 2 if solver_kwargs.get("cg_bf16") else 4
             onehot_bytes = oh_bytes_per * P_g * D_g * max(len(window) - n_fixed, 1)
-            if onehot_bytes <= 2 << 30:
+            if (jax.default_backend() == "tpu"
+                    and self.cfg.ba.cg_precond_group == 1
+                    and ba_global_pallas.kernel_eligible_global(
+                        grid, n_fixed=n_fixed)):
+                solver_kwargs.pop("cg_bf16", None)  # kernel is f32-exact
+                rv, tv, pts, stats = ba_global_pallas.ba_solve_global_pallas(
+                    grid, cg_forcing=True, **solver_kwargs)
+            elif onehot_bytes <= 2 << 30:
                 rv, tv, pts, stats = ba_grid.ba_solve_grid(
                     grid, cg_forcing=True,
                     cg_precond_group=self.cfg.ba.cg_precond_group,

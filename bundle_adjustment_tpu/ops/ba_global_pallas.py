@@ -1,0 +1,568 @@
+"""Fused Pallas kernels for the GLOBAL-scale PCG bundle adjuster.
+
+Why this exists (measured, `tools/profile_ba.py --global-pcg` on TPU v5e at
+C=200/P=30k/O=120k): one LM iteration of the XLA grid PCG solver
+(ops/ba_grid._solve_step_pcg) costs ~16.7 ms composed, but its stages sum to
+only ~4.7 ms (terms 1.56 + setup 0.39 + preconditioner 1.30 + trial cost
+1.44) + 0.42 ms per CG matvec — the remainder is XLA fusion-boundary
+overhead between the ~hundreds of small ops, the same measured gap that
+justified the window-scale fused kernel (ops/ba_pallas.py, which replaces
+scipy TRF at /root/reference/src/bundle_adjuster.py:170-174; this module
+plays that role at the reference's GLOBAL-BA scale, src/main.py:80-89).
+
+The global problem does NOT fit VMEM, so unlike ba_pallas.py this is not one
+whole-solve kernel; it is three kernels tiled over map points, with the tiny
+camera-space algebra (damping, block-Jacobi inverse, CG scalar recurrences,
+LM accept/reject) staying in XLA where it is a handful of (C',6)-sized ops:
+
+  _setup_kernel   one pass over P-tiles per LM iteration: residuals +
+                  analytic Jacobians + Huber IRLS weights + V elimination +
+                  coupling blocks Y + ALL FOUR camera reductions (U blocks,
+                  gradient, rhs coupling, block-Jacobi preconditioner rows),
+                  accumulated across tiles into one (C', 84) output.
+  _matvec_kernel  one pass per CG iteration: S·x = U x − W V⁻¹ Wᵀ x
+                  matrix-free, streaming the Y/V⁻¹ tiles written by setup.
+  _cost_kernel    trial-point Huber cost + raw squared cost.
+  _backsub_kernel point back-substitution dp = −(z_p + V⁻¹ Wᵀ dc).
+
+The key memory trick: the XLA path's camera reduction is a matmul against a
+materialized (C', P·D) one-hot — 95 MB of HBM traffic per pass at C=200 and
+1.9 GB at C=1000 (hence its bf16 mode).  In-kernel the one-hot never exists:
+each tile rebuilds its (C, TP) slice from the int32 slot row with one iota
+compare in VMEM and feeds it straight to the MXU, so per-pass HBM traffic
+drops to the problem tensors themselves (~12 MB).  That removes the reason
+bf16 reductions existed; the kernel runs f32 end to end.
+
+LM semantics (accept/reject, Eisenstat-Walker forcing, ftol/xtol stopping)
+are ba_grid.ba_solve_grid's, asserted equivalent in
+tests/test_ba_global_pallas.py (interpret mode on CPU; step-level parity vs
+_solve_step_pcg and whole-solve cost parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bundle_adjustment_tpu.ops import ba as ba_flat
+from bundle_adjustment_tpu.ops import ba_grid
+from bundle_adjustment_tpu.ops.ba_pallas import _rodrigues_rows
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# setup-kernel reduction layout (lane axis of the (C_adj, 84) output)
+_RED_U = slice(0, 36)       # 6x6 U blocks, row-major
+_RED_GC = slice(36, 42)     # camera gradient
+_RED_WZ = slice(42, 48)     # rhs coupling  W V^-1 g_p
+_RED_DO = slice(48, 84)     # block-Jacobi 6x6 blocks of  W V^-1 W^T
+_RED_COLS = 84
+
+
+def _dotPP(a, b):
+    """(M, TP) x (N, TP) -> (M, N): contract the lane (point) axis."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), precision=_HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _dotCP(a, b):
+    """(M, C) x (C, TP) -> (M, TP): the one-hot gather as a matmul."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _slot_onehot(slot_row, m_row, C):
+    """(C, TP) one-hot from an int32 slot row, dead slots all-zero."""
+    ci = jax.lax.broadcasted_iota(jnp.int32, (C, slot_row.shape[1]), 0)
+    return jnp.where(ci == slot_row, m_row, 0.0)
+
+
+def _slot_frame(R_rows, tvT, ptT, oh, maskT, uvT, scal, d):
+    """Camera-frame coords + residual rows for slot d of the current tile."""
+    fx = scal[0:1, 0:1]
+    fy = scal[0:1, 1:2]
+    cx = scal[0:1, 2:3]
+    cy = scal[0:1, 3:4]
+    Rg = _dotCP(R_rows, oh)                                  # (9, TP)
+    tg = _dotCP(tvT, oh)                                     # (3, TP)
+    p0, p1, p2 = ptT[0:1, :], ptT[1:2, :], ptT[2:3, :]
+    Xc = [Rg[3 * i:3 * i + 1, :] * p0
+          + Rg[3 * i + 1:3 * i + 2, :] * p1
+          + Rg[3 * i + 2:3 * i + 3, :] * p2
+          + tg[i:i + 1, :] for i in range(3)]
+    z = Xc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / z_safe
+    m = maskT[d:d + 1, :]
+    u = fx * Xc[0] * inv_z + cx
+    v = fy * Xc[1] * inv_z + cy
+    r = [(u - uvT[2 * d:2 * d + 1, :]) * m,
+         (v - uvT[2 * d + 1:2 * d + 2, :]) * m]
+    return Rg, Xc, inv_z, m, r
+
+
+def _setup_body(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal,
+                *, C, D, n_fixed):
+    """Per-tile setup math on plain jnp VALUES (shared by the Pallas kernel
+    and the CPU oracle).  Returns (YT rows (D*18, TP), VinvT (6, TP),
+    zpT (3, TP), red contribution (C_adj, 84))."""
+    lam = scal[0:1, 4:5]
+    delta = scal[0:1, 5:6]
+    p0, p1, p2 = ptT[0:1, :], ptT[1:2, :], ptT[2:3, :]
+
+    Vr = {}
+    g_p = [0.0, 0.0, 0.0]
+    per_slot = []           # (oh_adj, w, r, jc, jp) per d
+
+    for d in range(D):
+        slot = slotT[d:d + 1, :]
+        m = maskT[d:d + 1, :]
+        oh = _slot_onehot(slot, m, C)                        # (C, TP)
+        Rg, Xc, inv_z, m, r = _slot_frame(
+            R_rows, tvT, ptT, oh, maskT, uvT, scal, d)
+        dRg = _dotCP(dR_rows, oh)                            # (27, TP)
+        cam_ok = jnp.where(slot >= n_fixed, 1.0, 0.0)
+
+        w = []
+        for k in range(2):
+            ak = jnp.abs(r[k])
+            w.append(jnp.where(ak <= delta, 1.0,
+                               delta / jnp.maximum(ak, 1e-12)) * m)
+
+        zrow = jnp.zeros_like(inv_z)
+        fx = scal[0:1, 0:1]
+        fy = scal[0:1, 1:2]
+        duv = [[fx * inv_z, zrow, -fx * Xc[0] * inv_z * inv_z],
+               [zrow, fy * inv_z, -fy * Xc[1] * inv_z * inv_z]]
+
+        # point Jacobian rows: jp[k][l] = sum_i duv[k][i] * R_il
+        jp = [[duv[k][0] * Rg[0 + l:1 + l, :]
+               + duv[k][1] * Rg[3 + l:4 + l, :]
+               + duv[k][2] * Rg[6 + l:7 + l, :]
+               for l in range(3)] for k in range(2)]
+
+        # dXc/dr[i][kk] = sum_j dRg[kk*9 + i*3 + j] * pt[j]
+        dXdr = [[dRg[kk * 9 + i * 3:kk * 9 + i * 3 + 1, :] * p0
+                 + dRg[kk * 9 + i * 3 + 1:kk * 9 + i * 3 + 2, :] * p1
+                 + dRg[kk * 9 + i * 3 + 2:kk * 9 + i * 3 + 3, :] * p2
+                 for kk in range(3)] for i in range(3)]
+
+        # camera Jacobian rows (cols 0-2 rotation, 3-5 translation), zeroed
+        # for gauge-fixed cameras exactly as ba_grid (cam_ok BEFORE Y/U)
+        jc = [[(duv[k][0] * dXdr[0][kk] + duv[k][1] * dXdr[1][kk]
+                + duv[k][2] * dXdr[2][kk]) * cam_ok for kk in range(3)]
+              + [duv[k][i] * cam_ok for i in range(3)] for k in range(2)]
+
+        for l in range(3):
+            for lp in range(l, 3):
+                Vr[(l, lp)] = Vr.get((l, lp), 0.0) \
+                    + w[0] * jp[0][l] * jp[0][lp] + w[1] * jp[1][l] * jp[1][lp]
+            g_p[l] = g_p[l] + w[0] * jp[0][l] * r[0] + w[1] * jp[1][l] * r[1]
+
+        # stash only the small per-slot rows; the (C, TP) one-hot is rebuilt
+        # in the reduction loop below (one iota compare) to bound VMEM
+        per_slot.append((w, r, jc, jp))
+
+    # ---- V damping + adjugate inverse (ba._inv3 math), point mask folded --
+    lam_eps = lam * 1e-6
+    v00 = Vr[(0, 0)]
+    v01 = Vr[(0, 1)]
+    v02 = Vr[(0, 2)]
+    v11 = Vr[(1, 1)]
+    v12 = Vr[(1, 2)]
+    v22 = Vr[(2, 2)]
+    v00 = v00 + lam * jnp.abs(v00) + lam_eps
+    v11 = v11 + lam * jnp.abs(v11) + lam_eps
+    v22 = v22 + lam * jnp.abs(v22) + lam_eps
+    A_ = v11 * v22 - v12 * v12
+    B_ = v02 * v12 - v01 * v22
+    C_ = v01 * v12 - v02 * v11
+    E_ = v00 * v22 - v02 * v02
+    F_ = v01 * v02 - v00 * v12
+    I_ = v00 * v11 - v01 * v01
+    det = v00 * A_ + v01 * B_ + v02 * C_
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv_det = pmaskT / det
+    iv = {(0, 0): A_ * inv_det, (0, 1): B_ * inv_det, (0, 2): C_ * inv_det,
+          (1, 1): E_ * inv_det, (1, 2): F_ * inv_det, (2, 2): I_ * inv_det}
+
+    def Vinv(l, lp):
+        return iv[(l, lp)] if (l, lp) in iv else iv[(lp, l)]
+
+    z_p = [Vinv(l, 0) * g_p[0] + Vinv(l, 1) * g_p[1] + Vinv(l, 2) * g_p[2]
+           for l in range(3)]
+
+    # ---- per-slot Y, camera reductions ------------------------------------
+    Y_rows_all = []
+    red = 0.0
+    for d in range(D):
+        w, r, jc, jp = per_slot[d]
+        oh_adj = _slot_onehot(slotT[d:d + 1, :], maskT[d:d + 1, :],
+                              C)[n_fixed:, :]                # (C_adj, TP)
+        # Y[i][l] = sum_k w[k] jc[k][i] jp[k][l]
+        Y = [[w[0] * jc[0][i] * jp[0][l] + w[1] * jc[1][i] * jp[1][l]
+              for l in range(3)] for i in range(6)]
+        YV = [[Y[i][0] * Vinv(0, l) + Y[i][1] * Vinv(1, l)
+               + Y[i][2] * Vinv(2, l) for l in range(3)] for i in range(6)]
+        rows = []
+        # U block rows (36): U[i][j] = sum_k w[k] jc[k][i] jc[k][j]
+        for i in range(6):
+            for j in range(6):
+                rows.append(w[0] * jc[0][i] * jc[0][j]
+                            + w[1] * jc[1][i] * jc[1][j])
+        # gradient rows (6)
+        for i in range(6):
+            rows.append(w[0] * jc[0][i] * r[0] + w[1] * jc[1][i] * r[1])
+        # rhs coupling rows (6): (Y z_p)[i]
+        for i in range(6):
+            rows.append(Y[i][0] * z_p[0] + Y[i][1] * z_p[1] + Y[i][2] * z_p[2])
+        # preconditioner rows (36): (Y V^-1 Y^T)[i][j]
+        for i in range(6):
+            for j in range(6):
+                rows.append(YV[i][0] * Y[j][0] + YV[i][1] * Y[j][1]
+                            + YV[i][2] * Y[j][2])
+        rows = jnp.concatenate(rows, axis=0)                 # (84, TP)
+        red = red + _dotPP(oh_adj, rows)                     # (C_adj, 84)
+        Y_rows_all += [Y[i][l] for i in range(6) for l in range(3)]
+
+    YT = jnp.concatenate(Y_rows_all, axis=0)                 # (D*18, TP)
+    VinvT = jnp.concatenate(
+        [iv[(0, 0)], iv[(0, 1)], iv[(0, 2)], iv[(1, 1)], iv[(1, 2)],
+         iv[(2, 2)]], axis=0)                                # (6, TP)
+    zpT = jnp.concatenate(z_p, axis=0)                       # (3, TP)
+    return YT, VinvT, zpT, red
+
+
+def _setup_kernel(R_ref, dR_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref,
+                  pmask_ref, scal_ref, Y_out, Vinv_out, zp_out, red_out,
+                  *, C, D, n_fixed):
+    from jax.experimental import pallas as pl
+
+    YT, VinvT, zpT, red = _setup_body(
+        R_ref[:], dR_ref[:], tv_ref[:], pt_ref[:], slot_ref[:], mask_ref[:],
+        uv_ref[:], pmask_ref[:], scal_ref[:], C=C, D=D, n_fixed=n_fixed)
+    Y_out[:] = YT
+    Vinv_out[:] = VinvT
+    zp_out[:] = zpT
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        red_out[:] = jnp.zeros_like(red_out)
+
+    red_out[:] = red_out[:] + red
+
+
+def _vinv_apply(VinvT, q):
+    """(6, TP) packed symmetric 3x3 inverse applied to q rows [3 x (1, TP)]."""
+    v00, v01, v02 = VinvT[0:1, :], VinvT[1:2, :], VinvT[2:3, :]
+    v11, v12, v22 = VinvT[3:4, :], VinvT[4:5, :], VinvT[5:6, :]
+    return [v00 * q[0] + v01 * q[1] + v02 * q[2],
+            v01 * q[0] + v11 * q[1] + v12 * q[2],
+            v02 * q[0] + v12 * q[1] + v22 * q[2]]
+
+
+def _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, *, C, D,
+                   n_fixed, backsub, zp_ref=None):
+    """Shared math of the matvec and backsub kernels.
+
+    matvec:  returns (C_adj, 6) contribution  W V^-1 W^T x   (lane-reduced)
+    backsub: returns (3, TP) rows  dp = -(z_p + V^-1 W^T x)
+    """
+    xT = x_ref[:]                                            # (6, C)
+
+    def slot_Y(d):
+        return [[Y_ref[d * 18 + i * 3 + l:d * 18 + i * 3 + l + 1, :]
+                 for l in range(3)] for i in range(6)]
+
+    out = 0.0
+    q = [0.0, 0.0, 0.0]
+    for d in range(D):
+        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
+        xs = _dotCP(xT, oh)                                  # (6, TP)
+        Y = slot_Y(d)
+        for l in range(3):
+            q[l] = q[l] + sum(Y[i][l] * xs[i:i + 1, :] for i in range(6))
+    z = _vinv_apply(Vinv_ref[:], q)
+    if backsub:
+        zp = zp_ref[:]
+        return jnp.concatenate(
+            [-(zp[l:l + 1, :] + z[l]) for l in range(3)], axis=0)
+    for d in range(D):
+        # rebuild the one-hot rather than stash D of them (VMEM bound)
+        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
+        Y = slot_Y(d)
+        w2 = jnp.concatenate(
+            [Y[i][0] * z[0] + Y[i][1] * z[1] + Y[i][2] * z[2]
+             for i in range(6)], axis=0)                     # (6, TP)
+        out = out + _dotPP(oh[n_fixed:, :], w2)              # (C_adj, 6)
+    return out
+
+
+def _matvec_kernel(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, out_ref,
+                   *, C, D, n_fixed):
+    from jax.experimental import pallas as pl
+
+    out = _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
+                         C=C, D=D, n_fixed=n_fixed, backsub=False)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + out
+
+
+def _backsub_kernel(Y_ref, Vinv_ref, zp_ref, slot_ref, mask_ref, x_ref,
+                    dp_out, *, C, D, n_fixed):
+    dp_out[:] = _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
+                               C=C, D=D, n_fixed=n_fixed, backsub=True,
+                               zp_ref=zp_ref)
+
+
+def _cost_body(R_rows, tvT, ptT, slotT, maskT, uvT, scal, *, C, D):
+    delta = scal[0:1, 5:6]
+    huber = 0.0
+    sq = 0.0
+    for d in range(D):
+        slot = slotT[d:d + 1, :]
+        m = maskT[d:d + 1, :]
+        oh = _slot_onehot(slot, m, C)
+        _, _, _, m, r = _slot_frame(R_rows, tvT, ptT, oh, maskT, uvT, scal, d)
+        for k in range(2):
+            av = jnp.abs(r[k])
+            quad = r[k] * r[k]
+            lin = 2.0 * delta * av - delta * delta
+            huber = huber + jnp.sum(jnp.where(av <= delta, quad, lin))
+            sq = sq + jnp.sum(quad)
+    return 0.5 * huber, sq
+
+
+def _cost_kernel(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref, scal_ref,
+                 out_ref, *, C, D):
+    from jax.experimental import pallas as pl
+
+    huber, sq = _cost_body(R_ref[:], tv_ref[:], pt_ref[:], slot_ref[:],
+                           mask_ref[:], uv_ref[:], scal_ref[:], C=C, D=D)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
+    acc = jnp.where(lane == 0, huber, sq)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + acc
+
+
+def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
+                           ) -> bool:
+    """Static gate: the kernels unroll the D slot loop (compile time) and the
+    per-tile one-hot transient must stay VMEM-friendly.  Above these bounds
+    callers use the XLA grid/flat PCG paths."""
+    P, D = grid.cam_slot.shape
+    C = grid.rvecs.shape[0]
+    return D <= 12 and C <= 4096 and n_fixed >= 0
+
+
+def _tile_size(C):
+    """Pick the P-tile so the kernel working set (dominated by the (C, TP)
+    one-hot transients) stays under Mosaic's 16 MB scoped-VMEM budget —
+    measured: TP=512 at C=1000 overflows (21.95M), TP=256 fits."""
+    if C <= 256:
+        return 1024
+    if C <= 512:
+        return 512
+    return 256
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fixed", "max_iterations", "huber_delta",
+                     "lambda_init", "lambda_up", "lambda_down", "lambda_min",
+                     "lambda_max", "ftol", "xtol", "cg_iters", "cg_tol",
+                     "cg_forcing", "interpret"))
+def ba_solve_global_pallas(
+    grid: ba_grid.BAProblemGrid,
+    n_fixed: int = 1,
+    max_iterations: int = 50,
+    huber_delta: float = 1.0,
+    lambda_init: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    lambda_min: float = 1e-10,
+    lambda_max: float = 1e8,
+    ftol: float = 1e-5,
+    xtol: float = 1e-5,
+    cg_iters: int = 8,
+    cg_tol: float = 1e-6,
+    cg_forcing: bool = True,
+    interpret: bool = False,
+):
+    """Drop-in equivalent of ba_grid.ba_solve_grid's PCG path with the
+    per-observation stages fused into Pallas kernels.  Returns
+    (rvecs, tvecs, points, BAStats) exactly like ba_solve_grid."""
+    from jax.experimental import pallas as pl
+
+    C = grid.rvecs.shape[0]
+    C_adj = max(C - n_fixed, 1)
+    P, D = grid.cam_slot.shape
+    TP = _tile_size(C)
+    P_pad = -(-P // TP) * TP
+    pad = P_pad - P
+    n_tiles = P_pad // TP
+
+    ptT0 = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
+    slotT = jnp.pad(grid.cam_slot, ((0, pad), (0, 0))).T
+    maskT = jnp.pad(grid.mask.astype(jnp.float32), ((0, pad), (0, 0))).T
+    uvT = jnp.pad(grid.uv.astype(jnp.float32),
+                  ((0, pad), (0, 0), (0, 0))).transpose(1, 2, 0).reshape(
+                      2 * D, P_pad)
+    pmaskT = jnp.pad(grid.point_mask.astype(jnp.float32), (0, pad))[None, :]
+
+    def scal_row(lam):
+        # built in XLA (outside the kernels), so a plain stack is fine
+        return jnp.stack(
+            [grid.K[0, 0], grid.K[1, 1], grid.K[0, 2], grid.K[1, 2],
+             lam, jnp.float32(huber_delta), jnp.float32(0), jnp.float32(0)]
+        ).astype(jnp.float32)[None, :]
+
+    tiled = lambda rows: pl.BlockSpec((rows, TP), lambda i: (0, i))
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+
+    def run_setup(R_rows, dR_rows, tvT, ptT, lam):
+        return pl.pallas_call(
+            functools.partial(_setup_kernel, C=C, D=D, n_fixed=n_fixed),
+            grid=(n_tiles,),
+            in_specs=[full(9, C), full(27, C), full(3, C), tiled(3),
+                      tiled(D), tiled(D), tiled(2 * D), tiled(1), full(1, 8)],
+            out_specs=(tiled(D * 18), tiled(6), tiled(3),
+                       full(C_adj, _RED_COLS)),
+            out_shape=(
+                jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((C_adj, _RED_COLS), jnp.float32),
+            ),
+            interpret=interpret,
+        )(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
+
+    def run_matvec(YT, VinvT, xT):
+        return pl.pallas_call(
+            functools.partial(_matvec_kernel, C=C, D=D, n_fixed=n_fixed),
+            grid=(n_tiles,),
+            in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
+                      full(6, C)],
+            out_specs=full(C_adj, 6),
+            out_shape=jax.ShapeDtypeStruct((C_adj, 6), jnp.float32),
+            interpret=interpret,
+        )(YT, VinvT, slotT, maskT, xT)
+
+    def run_backsub(YT, VinvT, zpT, xT):
+        return pl.pallas_call(
+            functools.partial(_backsub_kernel, C=C, D=D, n_fixed=n_fixed),
+            grid=(n_tiles,),
+            in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(D), tiled(D),
+                      full(6, C)],
+            out_specs=tiled(3),
+            out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+            interpret=interpret,
+        )(YT, VinvT, zpT, slotT, maskT, xT)
+
+    def run_cost(rv, tv, ptT):
+        R_rows, _ = _rodrigues_rows(rv.T, want_jac=False)
+        out = pl.pallas_call(
+            functools.partial(_cost_kernel, C=C, D=D),
+            grid=(n_tiles,),
+            in_specs=[full(9, C), full(3, C), tiled(3), tiled(D), tiled(D),
+                      tiled(2 * D), full(1, 8)],
+            out_specs=full(1, 2),
+            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            interpret=interpret,
+        )(R_rows, tv.T, ptT, slotT, maskT, uvT, scal_row(jnp.float32(0)))
+        return out[0, 0], out[0, 1]
+
+    def pad_x(x):
+        """(C_adj, 6) camera blocks -> (6, C) with zero rows for fixed."""
+        xT = jnp.zeros((6, C), jnp.float32)
+        return jax.lax.dynamic_update_slice(xT, x.T, (0, n_fixed))
+
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    def solve_step(rv, tv, ptT, lam, tol):
+        R_rows, dR_rows = _rodrigues_rows(rv.T, want_jac=True)
+        YT, VinvT, zpT, red = run_setup(R_rows, dR_rows, tv.T, ptT, lam)
+        U = red[:, _RED_U].reshape(C_adj, 6, 6)
+        g_c = red[:, _RED_GC]
+        Wz = red[:, _RED_WZ]
+        Dred = red[:, _RED_DO].reshape(C_adj, 6, 6)
+        damp = lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U)))
+                      + 1e-6 * eye6)
+        U = U + damp
+        b = -g_c + Wz
+        Minv = ba_grid._inv6(U - Dred + 1e-8 * eye6)
+
+        def matvec(x):
+            Ux = jnp.sum(U * x[:, None, :], axis=-1)
+            return Ux - run_matvec(YT, VinvT, pad_x(x))
+
+        dc = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, tol)
+        dpT = run_backsub(YT, VinvT, zpT, pad_x(dc))
+        d_r = jnp.zeros_like(rv).at[n_fixed:].set(dc[: C - n_fixed, :3])
+        d_t = jnp.zeros_like(tv).at[n_fixed:].set(dc[: C - n_fixed, 3:])
+        return d_r, d_t, dpT, jnp.sqrt(jnp.sum(b * b))
+
+    init_cost, init_sq = run_cost(grid.rvecs.astype(jnp.float32),
+                                  grid.tvecs.astype(jnp.float32), ptT0)
+
+    def cond(s):
+        return (~s[6]) & (s[5] < max_iterations)
+
+    def body(s):
+        rv, tv, ptT, lam, cost, it, done, b0, blast = s
+        if cg_forcing:
+            tol = jnp.where(
+                b0 > 0.0,
+                jnp.clip(jnp.sqrt(blast / jnp.maximum(b0, 1e-30)),
+                         cg_tol, 0.1),
+                0.1)
+        else:
+            tol = jnp.float32(cg_tol)
+        d_r, d_t, dpT, bnorm = solve_step(rv, tv, ptT, lam, tol)
+        b0 = jnp.where(b0 > 0.0, b0, bnorm)
+        blast = bnorm
+        rv2, tv2, pt2 = rv + d_r, tv + d_t, ptT + dpT
+        new_cost, _ = run_cost(rv2, tv2, pt2)
+        accept = new_cost < cost
+        step_norm = jnp.sqrt(jnp.sum(d_r * d_r) + jnp.sum(d_t * d_t)
+                             + jnp.sum(dpT * dpT))
+        param_norm = jnp.sqrt(jnp.sum(rv * rv) + jnp.sum(tv * tv)
+                              + jnp.sum(ptT * ptT))
+        converged = accept & (
+            ((cost - new_cost) <= ftol * jnp.maximum(cost, 1e-12))
+            | (step_norm <= xtol * (param_norm + xtol))
+        )
+        rv = jnp.where(accept, rv2, rv)
+        tv = jnp.where(accept, tv2, tv)
+        ptT = jnp.where(accept, pt2, ptT)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * lambda_down, lambda_min),
+                        jnp.minimum(lam * lambda_up, lambda_max))
+        stuck = (~accept) & (lam >= lambda_max)
+        return (rv, tv, ptT, lam, cost, it + 1, converged | stuck, b0, blast)
+
+    lam0 = jnp.float32(lambda_init)
+    neg1 = jnp.float32(-1.0)
+    rv, tv, ptT, lam, cost, it, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (grid.rvecs.astype(jnp.float32), grid.tvecs.astype(jnp.float32),
+         ptT0, lam0, init_cost, 0, False, neg1, neg1),
+    )
+    _, final_sq = run_cost(rv, tv, ptT)
+    stats = ba_flat.BAStats(
+        initial_cost=init_cost, final_cost=cost,
+        initial_sq=init_sq, final_sq=final_sq,
+        iterations=it, accepted=cost < init_cost,
+    )
+    return rv, tv, ptT.T[:P], stats

@@ -1,0 +1,208 @@
+"""Fused global-BA Pallas kernels vs the XLA grid PCG solver.
+
+Strategy (mirrors tests/test_ba_pallas.py): run the kernels in Pallas
+INTERPRET mode on the CPU backend and assert parity against
+ops/ba_grid._solve_step_pcg / ba_solve_grid — step-level (one damped Schur
+step with a fixed lambda must match the XLA step to float tolerance) and
+solve-level (same LM trajectory => same final cost within tolerance).
+Real-TPU compilation + throughput is bench.py's job.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bundle_adjustment_tpu.ops import ba as ba_flat
+from bundle_adjustment_tpu.ops import ba_grid, ba_global_pallas
+
+
+def _make_problem(rng, C=12, P=600, obs_per_pt=4, noise=0.5):
+    """Small band-visibility global problem (bench.make_global_problem
+    geometry, sized for the CPU interpreter)."""
+    from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1.0]])
+    c_ids = np.arange(C)
+    rvecs = np.stack([0.1 * np.sin(c_ids / 3), 0.1 * np.cos(c_ids / 4),
+                      0.05 * np.sin(c_ids / 5)], axis=1)
+    Rs = np.stack([so3_exp_np(r) for r in rvecs])
+    centers = np.stack([0.3 * c_ids, 0.05 * np.sin(c_ids / 2),
+                        0.02 * c_ids], axis=1)
+    tvecs = -np.einsum("cij,cj->ci", Rs, centers)
+
+    base = (np.arange(P) * max(C - obs_per_pt, 1) // P).astype(np.int32)
+    offs = rng.uniform([-3, -3, 4], [3, 3, 12], size=(P, 3))
+    X = centers[base] + np.einsum("pji,pj->pi", Rs[base], offs)
+    cam_idx = np.minimum(base[:, None] + np.arange(obs_per_pt)[None, :],
+                         C - 1).astype(np.int32).reshape(-1)
+    pnt_idx = np.repeat(np.arange(P, dtype=np.int32), obs_per_pt)
+    Xc = np.einsum("oij,oj->oi", Rs[cam_idx], X[pnt_idx]) + tvecs[cam_idx]
+    uv = (Xc[:, :2] / Xc[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    uv += rng.normal(size=uv.shape) * noise
+    valid = Xc[:, 2] > 0.5
+
+    free = (np.arange(C)[:, None] > 0)
+    rv_p = rvecs + rng.normal(size=rvecs.shape) * 0.01 * free
+    c_p = centers + rng.normal(size=centers.shape) * 0.03 * free
+    R_p = np.stack([so3_exp_np(r) for r in rv_p])
+    tv_p = -np.einsum("cij,cj->ci", R_p, c_p)
+    prob = ba_flat.BAProblem(
+        rvecs=jnp.asarray(rv_p, jnp.float32),
+        tvecs=jnp.asarray(tv_p, jnp.float32),
+        points=jnp.asarray(X + rng.normal(size=X.shape) * 0.03, jnp.float32),
+        cam_idx=jnp.asarray(cam_idx),
+        pnt_idx=jnp.asarray(pnt_idx),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_mask=jnp.asarray(valid, jnp.float32),
+        point_mask=jnp.ones(P, bool),
+        K=jnp.asarray(K, jnp.float32),
+    )
+    return ba_grid.from_flat(prob)
+
+
+def _setup_outputs_interp(grid, lam, n_fixed=1):
+    """One _setup_kernel pass (interpret mode) -> (YT, VinvT, zpT, red)."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+
+    gp = ba_global_pallas
+    C = grid.rvecs.shape[0]
+    C_adj = C - n_fixed
+    P, D = grid.cam_slot.shape
+    TP = 256
+    P_pad = -(-P // TP) * TP
+    pad = P_pad - P
+    ptT = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
+    slotT = jnp.pad(grid.cam_slot, ((0, pad), (0, 0))).T
+    maskT = jnp.pad(grid.mask.astype(jnp.float32), ((0, pad), (0, 0))).T
+    uvT = jnp.pad(grid.uv.astype(jnp.float32),
+                  ((0, pad), (0, 0), (0, 0))).transpose(1, 2, 0).reshape(
+                      2 * D, P_pad)
+    pmaskT = jnp.pad(grid.point_mask.astype(jnp.float32), (0, pad))[None, :]
+    scal = jnp.stack([grid.K[0, 0], grid.K[1, 1], grid.K[0, 2], grid.K[1, 2],
+                      jnp.float32(lam), jnp.float32(1.0), jnp.float32(0),
+                      jnp.float32(0)]).astype(jnp.float32)[None, :]
+    R_rows, dR_rows = gp._rodrigues_rows(
+        grid.rvecs.astype(jnp.float32).T, want_jac=True)
+
+    tiled = lambda rows: pl.BlockSpec((rows, TP), lambda i: (0, i))
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    out = pl.pallas_call(
+        partial(gp._setup_kernel, C=C, D=D, n_fixed=n_fixed),
+        grid=(P_pad // TP,),
+        in_specs=[full(9, C), full(27, C), full(3, C), tiled(3), tiled(D),
+                  tiled(D), tiled(2 * D), tiled(1), full(1, 8)],
+        out_specs=(tiled(D * 18), tiled(6), tiled(3),
+                   full(C_adj, gp._RED_COLS)),
+        out_shape=(
+            jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((C_adj, gp._RED_COLS), jnp.float32),
+        ),
+        interpret=True,
+    )(R_rows, dR_rows, grid.tvecs.astype(jnp.float32).T, ptT, slotT, maskT,
+      uvT, pmaskT, scal)
+    return out, P
+
+
+def test_setup_reductions_match_xla_step():
+    """The setup kernel's U / g_c / Wz / precond reductions and the V^-1
+    elimination must reproduce ops/ba_grid's values."""
+    rng = np.random.default_rng(3)
+    grid = _make_problem(rng)
+    n_fixed = 1
+    lam = 1e-3
+    C = grid.rvecs.shape[0]
+    C_adj = C - n_fixed
+    P, D = grid.cam_slot.shape
+
+    (YT, VinvT, zpT, red), _ = _setup_outputs_interp(grid, lam, n_fixed)
+
+    # XLA reference pieces, computed exactly as _solve_step_pcg does
+    r, Jc, Jp = ba_grid._grid_terms(
+        grid.rvecs.astype(jnp.float32), grid.tvecs.astype(jnp.float32),
+        grid.points.astype(jnp.float32), grid)
+    delta = 1.0
+    a = jnp.abs(r)
+    w = jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12)) \
+        * grid.mask.astype(jnp.float32)[..., None]
+    cam_ok = (grid.cam_slot >= n_fixed).astype(r.dtype)[..., None, None]
+    Jc = Jc * cam_ok
+    V = jnp.sum(ba_grid._jtj(Jp, Jp, w), axis=1)
+    V = V + lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(V)))
+                   + 1e-6 * jnp.eye(3))
+    Vinv = ba_flat._inv3(V)
+    Vinv = jnp.where(grid.point_mask[:, None, None], Vinv, 0.0)
+    g_p = jnp.sum(Jp * w[..., None] * r[..., None], axis=(1, 2))
+    z_p = jnp.einsum("pij,pj->pi", Vinv, g_p)
+    Y = ba_grid._jtj(Jc, Jp, w)
+
+    np.testing.assert_allclose(np.asarray(zpT)[:, :P].T, np.asarray(z_p),
+                               rtol=1e-2, atol=1e-3)
+    # Y rows: YT[d*18 + i*3 + l, p] == Y[p, d, i, l]
+    Yk = np.asarray(YT)[:, :P].T.reshape(P, D, 6, 3)
+    np.testing.assert_allclose(Yk, np.asarray(Y), rtol=1e-2, atol=1e-3)
+
+    onehot_T = (jnp.arange(C_adj)[:, None]
+                == (grid.cam_slot.reshape(-1)[None, :] - n_fixed)
+                ).astype(jnp.float32)
+    U_ref = (onehot_T @ ba_grid._jtj(Jc, Jc, w).reshape(-1, 36)
+             ).reshape(C_adj, 6, 6)
+    gc_ref = onehot_T @ jnp.sum(Jc * w[..., None] * r[..., None],
+                                axis=-2).reshape(-1, 6)
+    Wz_ref = onehot_T @ jnp.sum(Y * z_p[:, None, None, :],
+                                axis=-1).reshape(-1, 6)
+    YV = ba_grid._mm(Y, Vinv[:, None])
+    Do_ref = (onehot_T @ jnp.sum(
+        YV[..., :, None, :] * Y[..., None, :, :], axis=-1).reshape(-1, 36)
+    ).reshape(C_adj, 6, 6)
+
+    red = np.asarray(red)
+    np.testing.assert_allclose(red[:, :36].reshape(C_adj, 6, 6),
+                               np.asarray(U_ref), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(red[:, 36:42], np.asarray(gc_ref),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(red[:, 42:48], np.asarray(Wz_ref),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(red[:, 48:84].reshape(C_adj, 6, 6),
+                               np.asarray(Do_ref), rtol=1e-2, atol=1e-2)
+
+
+def test_full_solve_matches_grid_pcg():
+    """Whole-solve LM trajectory parity: same iteration count ballpark and
+    final cost within 1% of ba_solve_grid's PCG path."""
+    rng = np.random.default_rng(5)
+    grid = _make_problem(rng)
+    kwargs = dict(n_fixed=1, max_iterations=15, ftol=0.0, xtol=0.0,
+                  lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True)
+    rv_x, tv_x, pt_x, st_x = ba_grid.ba_solve_grid(grid, **kwargs)
+    rv_k, tv_k, pt_k, st_k = ba_global_pallas.ba_solve_global_pallas(
+        grid, interpret=True, **kwargs)
+
+    np.testing.assert_allclose(float(st_k.initial_cost),
+                               float(st_x.initial_cost), rtol=1e-5)
+    np.testing.assert_allclose(float(st_k.final_cost), float(st_x.final_cost),
+                               rtol=1e-2)
+    np.testing.assert_allclose(float(st_k.final_sq), float(st_x.final_sq),
+                               rtol=1e-2)
+    assert float(st_k.final_cost) < float(st_k.initial_cost)
+    # parameters land at the same optimum
+    np.testing.assert_allclose(np.asarray(rv_k), np.asarray(rv_x),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(pt_k), np.asarray(pt_x),
+                               rtol=0, atol=5e-2)
+
+
+def test_eligibility_gate():
+    rng = np.random.default_rng(7)
+    grid = _make_problem(rng)
+    assert ba_global_pallas.kernel_eligible_global(grid)
+    big_D = grid._replace(cam_slot=jnp.zeros((16, 20), jnp.int32),
+                          mask=jnp.zeros((16, 20), jnp.float32),
+                          uv=jnp.zeros((16, 20, 2), jnp.float32),
+                          points=jnp.zeros((16, 3), jnp.float32),
+                          point_mask=jnp.zeros(16, bool))
+    assert not ba_global_pallas.kernel_eligible_global(big_D)
