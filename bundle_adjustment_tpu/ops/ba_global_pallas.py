@@ -280,6 +280,8 @@ def _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, *, C, D,
     out = 0.0
     q = [0.0, 0.0, 0.0]
     for d in range(D):
+        # the duplicate one-hot build in the second loop below is CSE'd by
+        # the compiler (pure, identical expression) — no manual stash needed
         oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
         xs = _dotCP(xT, oh)                                  # (6, TP)
         Y = slot_Y(d)
@@ -291,7 +293,6 @@ def _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, *, C, D,
         return jnp.concatenate(
             [-(zp[l:l + 1, :] + z[l]) for l in range(3)], axis=0)
     for d in range(D):
-        # rebuild the one-hot rather than stash D of them (VMEM bound)
         oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
         Y = slot_Y(d)
         w2 = jnp.concatenate(
@@ -367,12 +368,24 @@ def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
 
 
 def _tile_size(C):
-    """Pick the P-tile so the kernel working set (dominated by the (C, TP)
-    one-hot transients) stays under Mosaic's 16 MB scoped-VMEM budget —
-    measured: TP=512 at C=1000 overflows (21.95M), TP=256 fits."""
+    """P-tile for the SETUP kernel, whose working set (Jacobian row stacks +
+    (C, TP) one-hot transients) must stay under Mosaic's 16 MB scoped-VMEM
+    budget — measured: TP=512 at C=1000 overflows (21.95M), TP=256 fits."""
     if C <= 256:
         return 1024
     if C <= 512:
+        return 512
+    return 256
+
+
+def _tile_size_light(C):
+    """P-tile for the matvec/backsub/cost kernels, which carry only the
+    (C, TP) one-hot + a few dozen rows: bigger tiles cut the sequential
+    grid-step count (470 -> 118 at C=1000/P=120k, where per-step overhead
+    dominated the measured ~5 ms/pass matvec)."""
+    if C <= 1024:
+        return 1024
+    if C <= 2048:
         return 512
     return 256
 
@@ -409,9 +422,11 @@ def ba_solve_global_pallas(
     C_adj = max(C - n_fixed, 1)
     P, D = grid.cam_slot.shape
     TP = _tile_size(C)
-    P_pad = -(-P // TP) * TP
+    TP_l = max(_tile_size_light(C), TP)
+    P_pad = -(-P // TP_l) * TP_l        # TP divides TP_l (both powers of 2)
     pad = P_pad - P
     n_tiles = P_pad // TP
+    n_tiles_l = P_pad // TP_l
 
     ptT0 = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
     slotT = jnp.pad(grid.cam_slot, ((0, pad), (0, 0))).T
@@ -429,6 +444,7 @@ def ba_solve_global_pallas(
         ).astype(jnp.float32)[None, :]
 
     tiled = lambda rows: pl.BlockSpec((rows, TP), lambda i: (0, i))
+    tiled_l = lambda rows: pl.BlockSpec((rows, TP_l), lambda i: (0, i))
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
 
     def run_setup(R_rows, dR_rows, tvT, ptT, lam):
@@ -451,8 +467,8 @@ def ba_solve_global_pallas(
     def run_matvec(YT, VinvT, xT):
         return pl.pallas_call(
             functools.partial(_matvec_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles,),
-            in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
+            grid=(n_tiles_l,),
+            in_specs=[tiled_l(D * 18), tiled_l(6), tiled_l(D), tiled_l(D),
                       full(6, C)],
             out_specs=full(C_adj, 6),
             out_shape=jax.ShapeDtypeStruct((C_adj, 6), jnp.float32),
@@ -462,10 +478,10 @@ def ba_solve_global_pallas(
     def run_backsub(YT, VinvT, zpT, xT):
         return pl.pallas_call(
             functools.partial(_backsub_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles,),
-            in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(D), tiled(D),
-                      full(6, C)],
-            out_specs=tiled(3),
+            grid=(n_tiles_l,),
+            in_specs=[tiled_l(D * 18), tiled_l(6), tiled_l(3), tiled_l(D),
+                      tiled_l(D), full(6, C)],
+            out_specs=tiled_l(3),
             out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
             interpret=interpret,
         )(YT, VinvT, zpT, slotT, maskT, xT)
@@ -474,9 +490,9 @@ def ba_solve_global_pallas(
         R_rows, _ = _rodrigues_rows(rv.T, want_jac=False)
         out = pl.pallas_call(
             functools.partial(_cost_kernel, C=C, D=D),
-            grid=(n_tiles,),
-            in_specs=[full(9, C), full(3, C), tiled(3), tiled(D), tiled(D),
-                      tiled(2 * D), full(1, 8)],
+            grid=(n_tiles_l,),
+            in_specs=[full(9, C), full(3, C), tiled_l(3), tiled_l(D),
+                      tiled_l(D), tiled_l(2 * D), full(1, 8)],
             out_specs=full(1, 2),
             out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
             interpret=interpret,
