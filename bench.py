@@ -335,13 +335,20 @@ def bench_global_ba():
     best_its, best_stats, best_spread = grid_its, g_stats, g_spread
     kernel_its = None
     if jax.default_backend() == "tpu":
-        # fused-kernel path must reproduce the XLA solve's cost to 1%
-        kernel_its, k_spread, k_stats = measure(run_kernel, 41, repeats=6)
-        assert abs(float(k_stats.final_sq) - float(g_stats.final_sq)) <= \
-            1e-2 * max(float(g_stats.final_sq), 1.0), (
-                float(k_stats.final_sq), float(g_stats.final_sq))
-        if kernel_its > best_its:
-            best_its, best_stats, best_spread = kernel_its, k_stats, k_spread
+        # kernel failures (Mosaic compile / parity) must not discard the
+        # healthy XLA numbers already measured (ADVICE r03)
+        try:
+            kernel_its, k_spread, k_stats = measure(run_kernel, 41, repeats=6)
+            # fused-kernel path must reproduce the XLA solve's cost to 1%
+            assert abs(float(k_stats.final_sq) - float(g_stats.final_sq)) <= \
+                1e-2 * max(float(g_stats.final_sq), 1.0), (
+                    float(k_stats.final_sq), float(g_stats.final_sq))
+        except Exception as e:
+            kernel_its = f"error: {e}"
+        else:
+            if kernel_its > best_its:
+                best_its, best_stats, best_spread = (kernel_its, k_stats,
+                                                     k_spread)
     return (best_its, float(best_stats.initial_sq),
             float(best_stats.final_sq), flat_its, best_spread, cg32_its,
             float(cg32_stats.final_sq), grid_its, kernel_its)
@@ -358,34 +365,75 @@ def bench_global_c1000(repeats=3):
     rng = np.random.default_rng(13)
     prob = make_global_problem(rng, C=1000, P=120000)
     grid = ba_grid.from_flat(prob)
-    use_kernel = jax.default_backend() == "tpu"
+    use_kernel = (jax.default_backend() == "tpu"
+                  and ba_global_pallas.kernel_eligible_global(grid, n_fixed=1))
 
-    def run(iters):
-        if use_kernel:
-            out = ba_global_pallas.ba_solve_global_pallas(
-                grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-                lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True)
-        else:
-            out = ba_grid.ba_solve_grid(
-                grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
-                lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True,
-                cg_bf16=True)
+    def run_kernel(iters):
+        out = ba_global_pallas.ba_solve_global_pallas(
+            grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+            lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True)
         return jax.device_get(out[3])
 
-    def best_of(iters):
-        st = run(iters)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            st = run(iters)
-            best = min(best, time.perf_counter() - t0)
-        return best, st
+    def run_xla(iters):
+        out = ba_grid.ba_solve_grid(
+            grid, n_fixed=1, max_iterations=iters, ftol=0.0, xtol=0.0,
+            lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True,
+            cg_bf16=True)
+        return jax.device_get(out[3])
 
-    d1, _ = best_of(1)
-    dK, stats = best_of(21)
-    per_iter = (dK - d1) / max(int(stats.iterations) - 1, 1)
-    assert np.isfinite(float(stats.final_sq))
-    return (1.0 / per_iter, float(stats.initial_sq), float(stats.final_sq))
+    def measure(run):
+        def best_of(iters):
+            st = run(iters)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                st = run(iters)
+                best = min(best, time.perf_counter() - t0)
+            return best, st
+
+        d1, _ = best_of(1)
+        dK, stats = best_of(21)
+        per_iter = (dK - d1) / max(int(stats.iterations) - 1, 1)
+        assert np.isfinite(float(stats.final_sq))
+        return (1.0 / per_iter, float(stats.initial_sq),
+                float(stats.final_sq))
+
+    path = "pallas_kernel" if use_kernel else "xla_grid_bf16"
+    if use_kernel:
+        # a kernel failure here must degrade to the measured XLA datapoint,
+        # not a null row (ADVICE r03 / BENCH_r03 regression)
+        try:
+            return measure(run_kernel) + (path,)
+        except Exception:
+            path = "xla_grid_bf16 (kernel failed)"
+    return measure(run_xla) + (path,)
+
+
+def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096)):
+    """Hardware-shape compile gate (VERDICT r03 #2): COMPILE the fused global
+    kernels at every camera count the pipeline may route to them, so a
+    scoped-VMEM regression shows up as an "error:" cell in BENCH instead of
+    shipping silently (the r03 failure mode).  One LM iteration at small P —
+    the OOM risk is C-driven, not P-driven."""
+    from bundle_adjustment_tpu.ops import ba_global_pallas, ba_grid
+
+    out = {}
+    for C in shapes:
+        rng = np.random.default_rng(17)
+        prob = make_global_problem(rng, C=C, P=max(4 * C, 2048))
+        grid = ba_grid.from_flat(prob)
+        if not ba_global_pallas.kernel_eligible_global(grid, n_fixed=1):
+            out[str(C)] = "ineligible (gate routes to XLA)"
+            continue
+        try:
+            r = jax.block_until_ready(ba_global_pallas.ba_solve_global_pallas(
+                grid, n_fixed=1, max_iterations=1, ftol=0.0, xtol=0.0,
+                lambda_max=1e30, cg_iters=1, cg_tol=1e-6, cg_forcing=False))
+            assert np.isfinite(float(r[3].final_sq))
+            out[str(C)] = "ok"
+        except Exception as e:
+            out[str(C)] = f"error: {e}"[:300]
+    return out
 
 
 def device_peak_flops():
@@ -555,9 +603,16 @@ def main():
         g_cg32_its, g_cg32_final, g_xla_its, g_kernel_its = (
             None, None, None, None)
     try:
-        c1000_its, c1000_init, c1000_final = bench_global_c1000()
+        c1000_its, c1000_init, c1000_final, c1000_path = bench_global_c1000()
     except Exception as e:
-        c1000_its, c1000_init, c1000_final = f"error: {e}", None, None
+        c1000_its, c1000_init, c1000_final, c1000_path = (
+            f"error: {e}", None, None, None)
+    compile_smoke = None
+    if jax.default_backend() == "tpu":
+        try:
+            compile_smoke = bench_compile_smoke()
+        except Exception as e:
+            compile_smoke = f"error: {e}"
 
     fps, tracked_ms = None, None
     if "--no-fps" not in sys.argv:
@@ -622,6 +677,8 @@ def main():
         "ba_global_c1000_problem": ("C=1000, P=120000, O=480000, CG cap 8 "
                                     "(fused kernel f32 on TPU; XLA grid "
                                     "bf16 reduce elsewhere)"),
+        "ba_global_c1000_path": c1000_path,
+        "ba_global_compile_smoke": compile_smoke,
         "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
                                        if isinstance(g_flat_its, float)
                                        else g_flat_its),

@@ -116,6 +116,7 @@ class VisualOdometryPipeline:
         self._last_debug_frame = None
         self._mesh = None
         self._pallas_ba_broken = False  # set on first Mosaic compile failure
+        self._global_pallas_broken = False  # same, for the global-BA kernels
         self._last_loop_kf = -(10 ** 9)  # loop-closure cooldown tracker
         # fused-frontend device mirror of the last keyframe (models/frontend)
         self._front_state = None
@@ -1151,13 +1152,31 @@ class VisualOdometryPipeline:
             P_g, D_g = grid.cam_slot.shape
             oh_bytes_per = 2 if solver_kwargs.get("cg_bf16") else 4
             onehot_bytes = oh_bytes_per * P_g * D_g * max(len(window) - n_fixed, 1)
-            if (jax.default_backend() == "tpu"
-                    and self.cfg.ba.cg_precond_group == 1
-                    and ba_global_pallas.kernel_eligible_global(
-                        grid, n_fixed=n_fixed)):
-                solver_kwargs.pop("cg_bf16", None)  # kernel is f32-exact
-                rv, tv, pts, stats = ba_global_pallas.ba_solve_global_pallas(
-                    grid, cg_forcing=True, **solver_kwargs)
+            use_global_pallas = (
+                jax.default_backend() == "tpu"
+                and not self._global_pallas_broken
+                and self.cfg.ba.cg_precond_group == 1
+                and ba_global_pallas.kernel_eligible_global(
+                    grid, n_fixed=n_fixed))
+            if use_global_pallas:
+                kw = dict(solver_kwargs)
+                kw.pop("cg_bf16", None)  # kernel is f32-exact
+                try:
+                    rv, tv, pts, stats = jax.block_until_ready(
+                        ba_global_pallas.ba_solve_global_pallas(
+                            grid, cg_forcing=True, **kw))
+                except Exception as e:  # Mosaic compile limits: fall back
+                    # (the r03 driver bench hit exactly this — a scoped-VMEM
+                    # OOM at C=1000 — and the pipeline crashed for lack of
+                    # this guard; mirror the window kernel's fallback below)
+                    self._global_pallas_broken = True
+                    use_global_pallas = False
+                    self.log.emit(
+                        "pallas_ba_fallback",
+                        f"    -> Global Pallas BA kernels unavailable "
+                        f"({e!r}); using the XLA grid/flat solver")
+            if use_global_pallas:
+                pass  # solved above
             elif onehot_bytes <= 2 << 30:
                 rv, tv, pts, stats = ba_grid.ba_solve_grid(
                     grid, cg_forcing=True,

@@ -357,37 +357,63 @@ def _cost_kernel(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref, scal_ref,
     out_ref[:] = out_ref[:] + acc
 
 
+# Mosaic's scoped-VMEM limit is 16 MB on v5e; leave headroom for compiler
+# temporaries the model below doesn't see.  (Round-3 shipped a hard-coded
+# TP=1024 cost tile at C=1000 that overflowed to 19.23 MB on hardware —
+# BENCH_r03 — because the table encoded two measured points, not the budget.)
+_VMEM_BUDGET = 13 * (1 << 20)
+_KERNEL_KINDS = ("setup", "matvec", "backsub", "cost")
+
+
+def _vmem_bytes(kind: str, C: int, D: int, TP: int) -> int:
+    """Per-tile Mosaic working-set estimate (bytes) for each kernel.
+
+    Calibrated against measured scoped-VMEM footprints on v5e at C=1000, D=4:
+      setup  TP=512  -> 21.95 MB (OOM; model 23.4)   TP=256 -> fits (11.9)
+      cost   TP=1024 -> 19.23 MB (OOM; model 21.0)   TP=256 -> fits  (5.7)
+    The dominant transients are the unrolled per-slot (C, TP) f32 one-hots;
+    the model charges one per construction *site* (Mosaic keeps the unrolled
+    slot loop's values live), plus the per-slot row stacks and the gathered
+    camera-table / reduction-accumulator I/O."""
+    lane = C * TP * 4          # one (C, TP) f32 one-hot
+    row = TP * 4               # one (1, TP) f32 row
+    io = 39 * C * 4 + 84 * C * 4   # R/dR/tv camera tables + red accumulator
+    if kind == "setup":
+        # loop 1: D one-hot sites + 22 stashed rows/slot (w, r, jc, jp);
+        # loop 2: D oh_adj sites + the (84, TP) reduction row stack
+        return (2 * D + 3) * lane + (22 * D + 84) * row + io
+    if kind == "matvec":
+        # two one-hot sites per slot (gather + scatter halves) + Y stream
+        return (2 * D + 1) * lane + (2 * 18 * D + 24) * row + io
+    if kind == "backsub":
+        return (D + 1) * lane + (2 * 18 * D + 24) * row + io
+    assert kind == "cost"
+    return (D + 1) * lane + (4 * D + 16) * row + io
+
+
+def _pick_tile(kind: str, C: int, D: int) -> int:
+    """Largest power-of-two P-tile whose estimated working set fits the
+    scoped-VMEM budget; 0 if even the minimum lane tile (128) does not fit.
+    Bigger tiles cut the sequential grid-step count (470 -> 118 at
+    C=1000/P=120k for the light kernels, where per-step overhead dominated
+    the measured ~5 ms/pass matvec)."""
+    for tp in (1024, 512, 256, 128):
+        if _vmem_bytes(kind, C, D, tp) <= _VMEM_BUDGET:
+            return tp
+    return 0
+
+
 def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
                            ) -> bool:
-    """Static gate: the kernels unroll the D slot loop (compile time) and the
-    per-tile one-hot transient must stay VMEM-friendly.  Above these bounds
-    callers use the XLA grid/flat PCG paths."""
+    """Static gate: the kernels unroll the D slot loop (compile time) and
+    every kernel's per-tile working set must fit Mosaic's scoped-VMEM budget
+    (same estimate the tile picker uses).  Outside these bounds callers use
+    the XLA grid/flat PCG paths."""
     P, D = grid.cam_slot.shape
     C = grid.rvecs.shape[0]
-    return D <= 12 and C <= 4096 and n_fixed >= 0
-
-
-def _tile_size(C):
-    """P-tile for the SETUP kernel, whose working set (Jacobian row stacks +
-    (C, TP) one-hot transients) must stay under Mosaic's 16 MB scoped-VMEM
-    budget — measured: TP=512 at C=1000 overflows (21.95M), TP=256 fits."""
-    if C <= 256:
-        return 1024
-    if C <= 512:
-        return 512
-    return 256
-
-
-def _tile_size_light(C):
-    """P-tile for the matvec/backsub/cost kernels, which carry only the
-    (C, TP) one-hot + a few dozen rows: bigger tiles cut the sequential
-    grid-step count (470 -> 118 at C=1000/P=120k, where per-step overhead
-    dominated the measured ~5 ms/pass matvec)."""
-    if C <= 1024:
-        return 1024
-    if C <= 2048:
-        return 512
-    return 256
+    if not (D <= 12 and 0 <= n_fixed < C):
+        return False
+    return all(_pick_tile(k, C, D) > 0 for k in _KERNEL_KINDS)
 
 
 @functools.partial(
@@ -421,12 +447,17 @@ def ba_solve_global_pallas(
     C = grid.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
     P, D = grid.cam_slot.shape
-    TP = _tile_size(C)
-    TP_l = max(_tile_size_light(C), TP)
-    P_pad = -(-P // TP_l) * TP_l        # TP divides TP_l (both powers of 2)
+    tiles = {k: _pick_tile(k, C, D) for k in _KERNEL_KINDS}
+    if min(tiles.values()) == 0:
+        raise ValueError(
+            f"global Pallas kernels ineligible at C={C}, D={D}: working set "
+            f"exceeds the {_VMEM_BUDGET >> 20} MB scoped-VMEM budget at the "
+            "minimum tile (gate with kernel_eligible_global)")
+    TP = tiles["setup"]
+    # every tile divides the max (all powers of two) so one padded P works
+    TP_max = max(tiles.values())
+    P_pad = -(-P // TP_max) * TP_max
     pad = P_pad - P
-    n_tiles = P_pad // TP
-    n_tiles_l = P_pad // TP_l
 
     ptT0 = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
     slotT = jnp.pad(grid.cam_slot, ((0, pad), (0, 0))).T
@@ -443,8 +474,12 @@ def ba_solve_global_pallas(
              lam, jnp.float32(huber_delta), jnp.float32(0), jnp.float32(0)]
         ).astype(jnp.float32)[None, :]
 
-    tiled = lambda rows: pl.BlockSpec((rows, TP), lambda i: (0, i))
-    tiled_l = lambda rows: pl.BlockSpec((rows, TP_l), lambda i: (0, i))
+    def tile_for(kind):
+        tp = tiles[kind]
+        return (lambda rows: pl.BlockSpec((rows, tp), lambda i: (0, i)),
+                P_pad // tp)
+
+    tiled, n_tiles = tile_for("setup")
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
 
     def run_setup(R_rows, dR_rows, tvT, ptT, lam):
@@ -465,10 +500,11 @@ def ba_solve_global_pallas(
         )(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
 
     def run_matvec(YT, VinvT, xT):
+        tiled_m, n_tiles_m = tile_for("matvec")
         return pl.pallas_call(
             functools.partial(_matvec_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles_l,),
-            in_specs=[tiled_l(D * 18), tiled_l(6), tiled_l(D), tiled_l(D),
+            grid=(n_tiles_m,),
+            in_specs=[tiled_m(D * 18), tiled_m(6), tiled_m(D), tiled_m(D),
                       full(6, C)],
             out_specs=full(C_adj, 6),
             out_shape=jax.ShapeDtypeStruct((C_adj, 6), jnp.float32),
@@ -476,23 +512,25 @@ def ba_solve_global_pallas(
         )(YT, VinvT, slotT, maskT, xT)
 
     def run_backsub(YT, VinvT, zpT, xT):
+        tiled_b, n_tiles_b = tile_for("backsub")
         return pl.pallas_call(
             functools.partial(_backsub_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles_l,),
-            in_specs=[tiled_l(D * 18), tiled_l(6), tiled_l(3), tiled_l(D),
-                      tiled_l(D), full(6, C)],
-            out_specs=tiled_l(3),
+            grid=(n_tiles_b,),
+            in_specs=[tiled_b(D * 18), tiled_b(6), tiled_b(3), tiled_b(D),
+                      tiled_b(D), full(6, C)],
+            out_specs=tiled_b(3),
             out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
             interpret=interpret,
         )(YT, VinvT, zpT, slotT, maskT, xT)
 
     def run_cost(rv, tv, ptT):
+        tiled_c, n_tiles_c = tile_for("cost")
         R_rows, _ = _rodrigues_rows(rv.T, want_jac=False)
         out = pl.pallas_call(
             functools.partial(_cost_kernel, C=C, D=D),
-            grid=(n_tiles_l,),
-            in_specs=[full(9, C), full(3, C), tiled_l(3), tiled_l(D),
-                      tiled_l(D), tiled_l(2 * D), full(1, 8)],
+            grid=(n_tiles_c,),
+            in_specs=[full(9, C), full(3, C), tiled_c(3), tiled_c(D),
+                      tiled_c(D), tiled_c(2 * D), full(1, 8)],
             out_specs=full(1, 2),
             out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
             interpret=interpret,

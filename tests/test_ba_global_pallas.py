@@ -206,3 +206,98 @@ def test_eligibility_gate():
                           points=jnp.zeros((16, 3), jnp.float32),
                           point_mask=jnp.zeros(16, bool))
     assert not ba_global_pallas.kernel_eligible_global(big_D)
+    # n_fixed must index a real camera: >= C means the reduction shapes
+    # (oh[n_fixed:]) would mismatch the declared C_adj block (ADVICE r03)
+    C = grid.rvecs.shape[0]
+    assert not ba_global_pallas.kernel_eligible_global(grid, n_fixed=C)
+    assert not ba_global_pallas.kernel_eligible_global(grid, n_fixed=-1)
+
+
+def test_vmem_tile_picker_budget():
+    """The round-3 regression, encoded: hard-coded TP tables shipped a cost
+    kernel at C=1000/TP=1024 that overflowed Mosaic's 16 MB scoped VMEM on
+    hardware (BENCH_r03: 19.23M > 16M).  The budget model must classify the
+    measured OOM configs as over-budget and the measured-working configs as
+    under, and the picker must never return an over-budget tile."""
+    gp = ba_global_pallas
+    limit = 16 << 20
+    # measured OOM points (v5e, D=4): model must put them over the HW limit
+    assert gp._vmem_bytes("cost", C=1000, D=4, TP=1024) > limit
+    assert gp._vmem_bytes("setup", C=1000, D=4, TP=512) > limit
+    # measured working points: model must keep them under the picker budget
+    assert gp._vmem_bytes("cost", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
+    assert gp._vmem_bytes("setup", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
+    assert gp._vmem_bytes("matvec", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
+    # the picker never selects an over-budget tile, for any (C, D) it accepts
+    for C in (6, 200, 256, 512, 1000, 2048, 4096):
+        for D in (2, 4, 8, 12):
+            for kind in gp._KERNEL_KINDS:
+                tp = gp._pick_tile(kind, C, D)
+                if tp:
+                    assert gp._vmem_bytes(kind, C, D, tp) <= gp._VMEM_BUDGET
+                    assert tp >= 128 and (tp & (tp - 1)) == 0
+    # eligibility consults the same estimate: whenever the gate passes, every
+    # kernel has a feasible tile
+    rng = np.random.default_rng(7)
+    grid = _make_problem(rng)
+    D = grid.cam_slot.shape[1]
+    assert all(gp._pick_tile(k, grid.rvecs.shape[0], D) > 0
+               for k in gp._KERNEL_KINDS)
+
+
+def test_compile_smoke_on_tpu():
+    """Hardware-shape compile gate: the fused global kernels must COMPILE at
+    every eligible camera count (the r03 VMEM OOM was a compile-time failure
+    that interpret-mode tests cannot catch).  The CPU suite skips this; it is
+    exercised on hardware by bench.py's ba_global_compile_smoke preflight."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU (Mosaic compile) — see bench.py "
+                    "ba_global_compile_smoke for the hardware gate")
+    import bench
+
+    smoke = bench.bench_compile_smoke()
+    bad = {c: v for c, v in smoke.items() if v.startswith("error")}
+    assert not bad, bad
+
+
+def test_pipeline_global_ba_falls_back_on_kernel_failure(monkeypatch):
+    """If the fused global kernels fail to compile mid-run (the BENCH_r03
+    failure mode), the pipeline's global BA must degrade to the XLA grid/flat
+    path instead of crashing (models/pipeline._solve_window)."""
+    from bundle_adjustment_tpu.config import (BAConfig, CameraModel,
+                                              KeyframeCriteria,
+                                              PipelineConfig)
+    from bundle_adjustment_tpu.models.pipeline import VisualOdometryPipeline
+    from bundle_adjustment_tpu.utils.event_log import EventLog
+    from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
+
+    frames, K, _, _ = synthetic_sequence(n_frames=12, seed=0)
+    cfg = PipelineConfig(
+        camera=CameraModel(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                           width=640, height=480),
+        num_features=1200, pyramid_levels=4, min_tracked_features=15,
+        pose_inlier_ratio=0.4, pose_inlier_numbers=15,
+        keyframe=KeyframeCriteria(min_median_displacement_px=12.0),
+        ba=BAConfig(window_size=4, max_points=4096, max_obs=16384,
+                    pcg_min_cameras=3, use_pallas_ba=False),
+    )
+    pipe = VisualOdometryPipeline(cfg, log=EventLog(echo=False),
+                                  use_pallas_matcher=False)
+    for f in frames:
+        pipe.process_frame(f)
+    assert pipe.map.num_keyframes >= 5
+
+    def boom(*a, **k):
+        raise RuntimeError("forced Mosaic scoped-VMEM OOM (test)")
+
+    monkeypatch.setattr(ba_global_pallas, "ba_solve_global_pallas", boom)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    result = pipe.run_full_ba()
+    assert result is not None and np.isfinite(result["final"])
+    assert pipe._global_pallas_broken
+    assert any(e["event"] == "pallas_ba_fallback" for e in pipe.log.events)
+    # and the flag short-circuits the kernel path on the next solve
+    result2 = pipe.run_full_ba()
+    assert result2 is not None and np.isfinite(result2["final"])
