@@ -278,6 +278,40 @@ def make_global_problem(rng, C=200, P=30000, obs_per_pt=4):
     )
 
 
+def global_iter_mxu_flops(grid, n_fixed=1, cg_iters=8):
+    """Analytic MXU-matmul FLOPs ISSUED per LM iteration by the fused global
+    kernels (ops/ba_global_pallas) — the MFU numerator (VERDICT r03 #5).
+
+    Counts the slot one-hot gather/scatter matmuls, the kernels' only MXU
+    work (the per-observation Jacobian/residual math is VPU elementwise and
+    excluded, as is the XLA-side camera algebra at O(C) scale).  These are
+    *issued* FLOPs: the one-hot contraction does C x rows x TP MACs to move
+    rows x TP useful values, so the useful-work fraction is ~1/C on the
+    gather side — pregather mode (C > 512) removes exactly that term."""
+    from bundle_adjustment_tpu.ops import ba_global_pallas as gp
+
+    C = grid.rvecs.shape[0]
+    C_adj = max(C - n_fixed, 1)
+    P, D = grid.cam_slot.shape
+    plans = {k: gp._plan(k, C, D) for k in gp._KERNEL_KINDS}
+    if any(p is None for p in plans.values()):
+        return None
+    TP_max = max(tp for tp, _, _ in plans.values())
+    P_pad = -(-P // TP_max) * TP_max
+
+    def kernel_flops(kind, gather_rows, scatter_rows):
+        _, _, pre = plans[kind]
+        g = 0 if pre else 2 * gather_rows * C * D * P_pad
+        return g + 2 * scatter_rows * C_adj * D * P_pad
+
+    setup = kernel_flops("setup", 39, 54)
+    matvec = kernel_flops("matvec", 6, 6)
+    cost = kernel_flops("cost", 12, 0)
+    backsub = kernel_flops("backsub", 6, 0)
+    # one setup + cg matvecs + trial & accept cost evals + one backsub
+    return setup + cg_iters * matvec + 2 * cost + backsub
+
+
 def bench_global_ba():
     """Marginal it/s at global scale (C=200 cameras, 30k points, 120k
     observations), for the matrix-free PCG camera solvers: the fused Pallas
@@ -333,7 +367,7 @@ def bench_global_ba():
     if not ok:
         grid_its, g_stats = cg32_its, cg32_stats
     best_its, best_stats, best_spread = grid_its, g_stats, g_spread
-    kernel_its = None
+    kernel_its, kernel_mfu = None, None
     if jax.default_backend() == "tpu":
         # kernel failures (Mosaic compile / parity) must not discard the
         # healthy XLA numbers already measured (ADVICE r03)
@@ -346,12 +380,15 @@ def bench_global_ba():
         except Exception as e:
             kernel_its = f"error: {e}"
         else:
+            flops = global_iter_mxu_flops(grid, n_fixed=1, cg_iters=8)
+            if flops:
+                kernel_mfu = 100.0 * flops * kernel_its / device_peak_flops()
             if kernel_its > best_its:
                 best_its, best_stats, best_spread = (kernel_its, k_stats,
                                                      k_spread)
     return (best_its, float(best_stats.initial_sq),
             float(best_stats.final_sq), flat_its, best_spread, cg32_its,
-            float(cg32_stats.final_sq), grid_its, kernel_its)
+            float(cg32_stats.final_sq), grid_its, kernel_its, kernel_mfu)
 
 
 def bench_global_c1000(repeats=3):
@@ -382,31 +419,34 @@ def bench_global_c1000(repeats=3):
         return jax.device_get(out[3])
 
     def measure(run):
-        def best_of(iters):
+        box = {}
+
+        def timed_run(iters):
             st = run(iters)
-            best = float("inf")
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                st = run(iters)
-                best = min(best, time.perf_counter() - t0)
-            return best, st
+            box["st"] = st
+            return int(st.iterations)
 
-        d1, _ = best_of(1)
-        dK, stats = best_of(21)
-        per_iter = (dK - d1) / max(int(stats.iterations) - 1, 1)
-        assert np.isfinite(float(stats.final_sq))
-        return (1.0 / per_iter, float(stats.initial_sq),
-                float(stats.final_sq))
+        per_iter, spread = _marginal_estimate(timed_run, 21, repeats=repeats,
+                                              passes=2)
+        st = box["st"]
+        assert np.isfinite(float(st.final_sq))
+        return (1.0 / per_iter, float(st.initial_sq), float(st.final_sq),
+                spread)
 
+    mfu = None
     path = "pallas_kernel" if use_kernel else "xla_grid_bf16"
     if use_kernel:
         # a kernel failure here must degrade to the measured XLA datapoint,
         # not a null row (ADVICE r03 / BENCH_r03 regression)
         try:
-            return measure(run_kernel) + (path,)
+            its, init, final, spread = measure(run_kernel)
+            flops = global_iter_mxu_flops(grid, n_fixed=1, cg_iters=8)
+            if flops:
+                mfu = 100.0 * flops * its / device_peak_flops()
+            return its, init, final, spread, path, mfu
         except Exception:
             path = "xla_grid_bf16 (kernel failed)"
-    return measure(run_xla) + (path,)
+    return measure(run_xla) + (path, mfu)
 
 
 def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096)):
@@ -596,17 +636,20 @@ def main():
     orb_s, orb_spread = bench_orb()
     try:
         (g_its, g_init, g_final, g_flat_its, g_spread, g_cg32_its,
-         g_cg32_final, g_xla_its, g_kernel_its) = bench_global_ba()
+         g_cg32_final, g_xla_its, g_kernel_its,
+         g_kernel_mfu) = bench_global_ba()
     except Exception as e:  # global-scale BA is auxiliary; never fail bench
         g_its, g_init, g_final, g_flat_its, g_spread = (
             f"error: {e}", None, None, None, None)
-        g_cg32_its, g_cg32_final, g_xla_its, g_kernel_its = (
-            None, None, None, None)
+        g_cg32_its, g_cg32_final, g_xla_its, g_kernel_its, g_kernel_mfu = (
+            None, None, None, None, None)
     try:
-        c1000_its, c1000_init, c1000_final, c1000_path = bench_global_c1000()
+        (c1000_its, c1000_init, c1000_final, c1000_spread, c1000_path,
+         c1000_mfu) = bench_global_c1000()
     except Exception as e:
-        c1000_its, c1000_init, c1000_final, c1000_path = (
+        c1000_its, c1000_init, c1000_final, c1000_spread = (
             f"error: {e}", None, None, None)
+        c1000_path, c1000_mfu = None, None
     compile_smoke = None
     if jax.default_backend() == "tpu":
         try:
@@ -678,6 +721,13 @@ def main():
                                     "(fused kernel f32 on TPU; XLA grid "
                                     "bf16 reduce elsewhere)"),
         "ba_global_c1000_path": c1000_path,
+        "ba_global_c1000_spread_pct": (round(100 * c1000_spread, 1)
+                                       if isinstance(c1000_spread, float)
+                                       else None),
+        "ba_global_c1000_mfu_pct_bf16peak": (round(c1000_mfu, 2)
+                                             if c1000_mfu else None),
+        "ba_global_mfu_pct_bf16peak": (round(g_kernel_mfu, 2)
+                                       if g_kernel_mfu else None),
         "ba_global_compile_smoke": compile_smoke,
         "ba_global_flat_iters_per_s": (round(g_flat_its, 2)
                                        if isinstance(g_flat_its, float)

@@ -11,7 +11,7 @@ scipy TRF at /root/reference/src/bundle_adjuster.py:170-174; this module
 plays that role at the reference's GLOBAL-BA scale, src/main.py:80-89).
 
 The global problem does NOT fit VMEM, so unlike ba_pallas.py this is not one
-whole-solve kernel; it is three kernels tiled over map points, with the tiny
+whole-solve kernel; it is four kernels tiled over map points, with the tiny
 camera-space algebra (damping, block-Jacobi inverse, CG scalar recurrences,
 LM accept/reject) staying in XLA where it is a handful of (C',6)-sized ops:
 
@@ -19,24 +19,38 @@ LM accept/reject) staying in XLA where it is a handful of (C',6)-sized ops:
                   analytic Jacobians + Huber IRLS weights + V elimination +
                   coupling blocks Y + ALL FOUR camera reductions (U blocks,
                   gradient, rhs coupling, block-Jacobi preconditioner rows),
-                  accumulated across tiles into one (C', 84) output.
+                  accumulated across tiles into one (C', 54) output
+                  (U and the preconditioner are symmetric 6x6 blocks, packed
+                  as 21 upper-triangle lanes each — 54 = 21+6+6+21 — which
+                  cuts the dominant scatter-matmul FLOPs 36% vs naive 84).
   _matvec_kernel  one pass per CG iteration: S·x = U x − W V⁻¹ Wᵀ x
                   matrix-free, streaming the Y/V⁻¹ tiles written by setup.
   _cost_kernel    trial-point Huber cost + raw squared cost.
-  _backsub_kernel point back-substitution dp = −(z_p + V⁻¹ Wᵀ dc).
+  _backsub_kernel point back-substitution dp = −(z_p + V⁻¹ Wᵀ x).
 
-The key memory trick: the XLA path's camera reduction is a matmul against a
-materialized (C', P·D) one-hot — 95 MB of HBM traffic per pass at C=200 and
-1.9 GB at C=1000 (hence its bf16 mode).  In-kernel the one-hot never exists:
-each tile rebuilds its (C, TP) slice from the int32 slot row with one iota
-compare in VMEM and feeds it straight to the MXU, so per-pass HBM traffic
-drops to the problem tensors themselves (~12 MB).  That removes the reason
-bf16 reductions existed; the kernel runs f32 end to end.
+Camera-indexed data flows through the kernels in one of two modes, picked
+per problem size by `_plan` (both modes share every line of math):
+
+  gather mode (small C): the per-slot camera rows (R, dR/dr, t, x) are
+      gathered IN-KERNEL as a (C, TP) one-hot matmul rebuilt from the int32
+      slot row with one iota compare — the one-hot never exists in HBM (the
+      XLA path materializes a (C', P·D) one-hot: 95 MB of HBM traffic per
+      pass at C=200, 1.9 GB at C=1000 — the reason its bf16 mode existed).
+  pregather mode (large C): the same gathers run OUTSIDE the kernel as one
+      XLA take per pass ((D·39, P) ~ 75 MB HBM at C=1000 — 2 orders below
+      the XLA path's one-hot) and stream in as plain tiled inputs.  This
+      removes the gather one-hots' C·TP VMEM transients AND their
+      O(C·D·P) matmul FLOPs, so large-C problems keep large tiles.
+
+The SCATTER side (the (C', 54) camera reduction) always stays in-kernel as
+an MXU matmul against slot one-hots, but is blocked over C-chunks of CB
+rows so its VMEM transient is (CB, TP) regardless of C — the fix for the
+r03 scoped-VMEM OOM class and what extends eligibility past C=2048.
 
 LM semantics (accept/reject, Eisenstat-Walker forcing, ftol/xtol stopping)
 are ba_grid.ba_solve_grid's, asserted equivalent in
 tests/test_ba_global_pallas.py (interpret mode on CPU; step-level parity vs
-_solve_step_pcg and whole-solve cost parity).
+_solve_step_pcg and whole-solve cost parity, in both modes).
 """
 
 from __future__ import annotations
@@ -52,12 +66,22 @@ from bundle_adjustment_tpu.ops.ba_pallas import _rodrigues_rows
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-# setup-kernel reduction layout (lane axis of the (C_adj, 84) output)
-_RED_U = slice(0, 36)       # 6x6 U blocks, row-major
-_RED_GC = slice(36, 42)     # camera gradient
-_RED_WZ = slice(42, 48)     # rhs coupling  W V^-1 g_p
-_RED_DO = slice(48, 84)     # block-Jacobi 6x6 blocks of  W V^-1 W^T
-_RED_COLS = 84
+# setup-kernel reduction layout (lane axis of the (C_adj, 54) output):
+# symmetric 6x6 blocks packed as their 21 upper-triangle entries
+_TRI6 = [(i, j) for i in range(6) for j in range(i, 6)]
+_TRI6_IDX = {ij: k for k, ij in enumerate(_TRI6)}
+_RED_U = slice(0, 21)       # U upper triangle
+_RED_GC = slice(21, 27)     # camera gradient
+_RED_WZ = slice(27, 33)     # rhs coupling  W V^-1 g_p
+_RED_DO = slice(33, 54)     # block-Jacobi  W V^-1 W^T  upper triangle
+_RED_COLS = 54
+
+
+def _unpack_sym6(tri):
+    """(..., 21) packed upper triangle -> (..., 6, 6) symmetric blocks."""
+    idx = jnp.asarray([[_TRI6_IDX[(min(i, j), max(i, j))] for j in range(6)]
+                       for i in range(6)], jnp.int32)
+    return tri[..., idx]
 
 
 def _dotPP(a, b):
@@ -74,20 +98,62 @@ def _dotCP(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _slot_onehot(slot_row, m_row, C):
-    """(C, TP) one-hot from an int32 slot row, dead slots all-zero."""
+def _slot_onehot(slot_row, m_row, C, base=0):
+    """(C, TP) one-hot for rows [base, base+C) from an int32 slot row; dead
+    slots all-zero."""
     ci = jax.lax.broadcasted_iota(jnp.int32, (C, slot_row.shape[1]), 0)
-    return jnp.where(ci == slot_row, m_row, 0.0)
+    return jnp.where(ci == slot_row - base, m_row, 0.0)
 
 
-def _slot_frame(R_rows, tvT, ptT, oh, maskT, uvT, scal, d):
-    """Camera-frame coords + residual rows for slot d of the current tile."""
+def _scatter_chunks(slotT, maskT, rows, red, *, d, C_adj, n_fixed, CB):
+    """red += rows · one_hot(slot - n_fixed)ᵀ, blocked over C-chunks of CB
+    columns so the one-hot transient is (CB, TP) regardless of C.
+
+    Output orientation is (n_rows, C_adj) — rows on the SUBLANE axis — on
+    purpose: the MXU pads a matmul's output lane dim to 128, so the naive
+    (C_adj, 54) orientation issues 128/54 = 2.4x (setup) to 128/6 = 21x
+    (matvec) padding FLOPs.  Measured at C=1000 this orientation is what
+    takes the matvec pass from ~5 ms to near-roofline; callers transpose the
+    small result once in XLA.
+
+    Every chunk is a FULL CB columns; chunks stack on the SUBLANE axis — the
+    output is (nchunks*n_rows, CB), un-scrambled to (C', n_rows) by
+    _unscramble_chunks in XLA.  A one-hot row beyond C_adj can never match a
+    slot (slots are < C), so the padding columns are exact zeros.  Lane-axis
+    concat of the chunk results is NOT an option: it crashes the Mosaic
+    compiler at every multi-chunk size tried (C>=1000, r04), aligned or not,
+    while sublane concat of matmul outputs compiles everywhere."""
+    parts = []
+    for lo in range(0, C_adj, CB):
+        oh = _slot_onehot(slotT[d:d + 1, :], maskT[d:d + 1, :], CB,
+                          base=n_fixed + lo)
+        parts.append(_dotPP(rows, oh))               # (n_rows, CB)
+    contrib = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return red + contrib
+
+
+def _unscramble_chunks(out, n_rows, C_adj, CB):
+    """(nchunks*n_rows, CB) chunk-stacked kernel output -> (C_adj, n_rows)."""
+    nch = out.shape[0] // n_rows
+    return out.reshape(nch, n_rows, CB).transpose(0, 2, 1).reshape(
+        nch * CB, n_rows)[:C_adj]
+
+
+def _c_pad(C_adj, CB):
+    """Padded camera-column count of the chunked scatter output."""
+    return -(-C_adj // CB) * CB
+
+
+def _slot_frame(Rg, tg, ptT, maskT, uvT, scal, d):
+    """Camera-frame coords + residual rows for slot d of the current tile.
+    Rg (9, TP) / tg (3, TP) are the slot's camera rows — one-hot-masked in
+    gather mode, raw gathered in pregather mode; residuals are masked either
+    way so dead slots contribute exactly zero downstream (all reduction
+    terms carry w or r factors)."""
     fx = scal[0:1, 0:1]
     fy = scal[0:1, 1:2]
     cx = scal[0:1, 2:3]
     cy = scal[0:1, 3:4]
-    Rg = _dotCP(R_rows, oh)                                  # (9, TP)
-    tg = _dotCP(tvT, oh)                                     # (3, TP)
     p0, p1, p2 = ptT[0:1, :], ptT[1:2, :], ptT[2:3, :]
     Xc = [Rg[3 * i:3 * i + 1, :] * p0
           + Rg[3 * i + 1:3 * i + 2, :] * p1
@@ -101,29 +167,28 @@ def _slot_frame(R_rows, tvT, ptT, oh, maskT, uvT, scal, d):
     v = fy * Xc[1] * inv_z + cy
     r = [(u - uvT[2 * d:2 * d + 1, :]) * m,
          (v - uvT[2 * d + 1:2 * d + 2, :]) * m]
-    return Rg, Xc, inv_z, m, r
+    return Xc, inv_z, m, r
 
 
-def _setup_body(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal,
-                *, C, D, n_fixed):
+def _setup_body(fetch, ptT, slotT, maskT, uvT, pmaskT, scal,
+                *, C, D, n_fixed, CB):
     """Per-tile setup math on plain jnp VALUES (shared by the Pallas kernel
-    and the CPU oracle).  Returns (YT rows (D*18, TP), VinvT (6, TP),
-    zpT (3, TP), red contribution (C_adj, 84))."""
+    and the CPU oracle).  ``fetch(d) -> (Rg (9,TP), dRg (27,TP), tg (3,TP))``
+    supplies slot d's camera rows (gather or pregather mode).  Returns
+    (YT rows (D*18, TP), VinvT (6, TP), zpT (3, TP), red (54, C_adj))."""
     lam = scal[0:1, 4:5]
     delta = scal[0:1, 5:6]
     p0, p1, p2 = ptT[0:1, :], ptT[1:2, :], ptT[2:3, :]
+    C_adj = max(C - n_fixed, 1)
 
     Vr = {}
     g_p = [0.0, 0.0, 0.0]
-    per_slot = []           # (oh_adj, w, r, jc, jp) per d
+    per_slot = []           # (w, r, jc, jp) per d
 
     for d in range(D):
         slot = slotT[d:d + 1, :]
-        m = maskT[d:d + 1, :]
-        oh = _slot_onehot(slot, m, C)                        # (C, TP)
-        Rg, Xc, inv_z, m, r = _slot_frame(
-            R_rows, tvT, ptT, oh, maskT, uvT, scal, d)
-        dRg = _dotCP(dR_rows, oh)                            # (27, TP)
+        Rg, dRg, tg = fetch(d)
+        Xc, inv_z, m, r = _slot_frame(Rg, tg, ptT, maskT, uvT, scal, d)
         cam_ok = jnp.where(slot >= n_fixed, 1.0, 0.0)
 
         w = []
@@ -162,8 +227,8 @@ def _setup_body(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal,
                     + w[0] * jp[0][l] * jp[0][lp] + w[1] * jp[1][l] * jp[1][lp]
             g_p[l] = g_p[l] + w[0] * jp[0][l] * r[0] + w[1] * jp[1][l] * r[1]
 
-        # stash only the small per-slot rows; the (C, TP) one-hot is rebuilt
-        # in the reduction loop below (one iota compare) to bound VMEM
+        # stash only the small per-slot rows; scatter one-hots are rebuilt
+        # chunk-by-chunk in the reduction loop below to bound VMEM
         per_slot.append((w, r, jc, jp))
 
     # ---- V damping + adjugate inverse (ba._inv3 math), point mask folded --
@@ -200,32 +265,29 @@ def _setup_body(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal,
     red = 0.0
     for d in range(D):
         w, r, jc, jp = per_slot[d]
-        oh_adj = _slot_onehot(slotT[d:d + 1, :], maskT[d:d + 1, :],
-                              C)[n_fixed:, :]                # (C_adj, TP)
         # Y[i][l] = sum_k w[k] jc[k][i] jp[k][l]
         Y = [[w[0] * jc[0][i] * jp[0][l] + w[1] * jc[1][i] * jp[1][l]
               for l in range(3)] for i in range(6)]
         YV = [[Y[i][0] * Vinv(0, l) + Y[i][1] * Vinv(1, l)
                + Y[i][2] * Vinv(2, l) for l in range(3)] for i in range(6)]
         rows = []
-        # U block rows (36): U[i][j] = sum_k w[k] jc[k][i] jc[k][j]
-        for i in range(6):
-            for j in range(6):
-                rows.append(w[0] * jc[0][i] * jc[0][j]
-                            + w[1] * jc[1][i] * jc[1][j])
+        # U block rows (21, upper tri): U[i][j] = sum_k w[k] jc[k][i] jc[k][j]
+        for i, j in _TRI6:
+            rows.append(w[0] * jc[0][i] * jc[0][j]
+                        + w[1] * jc[1][i] * jc[1][j])
         # gradient rows (6)
         for i in range(6):
             rows.append(w[0] * jc[0][i] * r[0] + w[1] * jc[1][i] * r[1])
         # rhs coupling rows (6): (Y z_p)[i]
         for i in range(6):
             rows.append(Y[i][0] * z_p[0] + Y[i][1] * z_p[1] + Y[i][2] * z_p[2])
-        # preconditioner rows (36): (Y V^-1 Y^T)[i][j]
-        for i in range(6):
-            for j in range(6):
-                rows.append(YV[i][0] * Y[j][0] + YV[i][1] * Y[j][1]
-                            + YV[i][2] * Y[j][2])
-        rows = jnp.concatenate(rows, axis=0)                 # (84, TP)
-        red = red + _dotPP(oh_adj, rows)                     # (C_adj, 84)
+        # preconditioner rows (21, upper tri): (Y V^-1 Y^T)[i][j]
+        for i, j in _TRI6:
+            rows.append(YV[i][0] * Y[j][0] + YV[i][1] * Y[j][1]
+                        + YV[i][2] * Y[j][2])
+        rows = jnp.concatenate(rows, axis=0)                 # (54, TP)
+        red = _scatter_chunks(slotT, maskT, rows, red, d=d, C_adj=C_adj,
+                              n_fixed=n_fixed, CB=CB)
         Y_rows_all += [Y[i][l] for i in range(6) for l in range(3)]
 
     YT = jnp.concatenate(Y_rows_all, axis=0)                 # (D*18, TP)
@@ -236,14 +298,51 @@ def _setup_body(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal,
     return YT, VinvT, zpT, red
 
 
-def _setup_kernel(R_ref, dR_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref,
-                  pmask_ref, scal_ref, Y_out, Vinv_out, zp_out, red_out,
-                  *, C, D, n_fixed):
+def _gather_fetch(R_ref, dR_ref, tv_ref, slot_ref, mask_ref, *, C):
+    """fetch(d) for gather mode: per-slot camera rows via one (C, TP)
+    one-hot matmul per table (mask folded, so dead slots read zeros)."""
+    def fetch(d):
+        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
+        return (_dotCP(R_ref[:], oh), _dotCP(dR_ref[:], oh),
+                _dotCP(tv_ref[:], oh))
+    return fetch
+
+
+def _pre_fetch(cam_ref, *, rows):
+    """fetch(d) for pregather mode: slot-major contiguous row slices of the
+    XLA-gathered (D*rows, TP) tile (rows = 9 R + 27 dR + 3 t)."""
+    def fetch(d):
+        sl = cam_ref[d * rows:(d + 1) * rows, :]
+        return sl[0:9, :], sl[9:36, :], sl[36:39, :]
+    return fetch
+
+
+def _setup_kernel_gather(R_ref, dR_ref, tv_ref, pt_ref, slot_ref, mask_ref,
+                         uv_ref, pmask_ref, scal_ref, Y_out, Vinv_out,
+                         zp_out, red_out, *, C, D, n_fixed, CB):
+    fetch = _gather_fetch(R_ref, dR_ref, tv_ref, slot_ref, mask_ref, C=C)
+    _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
+                  scal_ref, Y_out, Vinv_out, zp_out, red_out,
+                  C=C, D=D, n_fixed=n_fixed, CB=CB)
+
+
+def _setup_kernel_pre(cam_ref, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
+                      scal_ref, Y_out, Vinv_out, zp_out, red_out,
+                      *, C, D, n_fixed, CB):
+    fetch = _pre_fetch(cam_ref, rows=39)
+    _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
+                  scal_ref, Y_out, Vinv_out, zp_out, red_out,
+                  C=C, D=D, n_fixed=n_fixed, CB=CB)
+
+
+def _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
+                  scal_ref, Y_out, Vinv_out, zp_out, red_out,
+                  *, C, D, n_fixed, CB):
     from jax.experimental import pallas as pl
 
     YT, VinvT, zpT, red = _setup_body(
-        R_ref[:], dR_ref[:], tv_ref[:], pt_ref[:], slot_ref[:], mask_ref[:],
-        uv_ref[:], pmask_ref[:], scal_ref[:], C=C, D=D, n_fixed=n_fixed)
+        fetch, pt_ref[:], slot_ref[:], mask_ref[:], uv_ref[:], pmask_ref[:],
+        scal_ref[:], C=C, D=D, n_fixed=n_fixed, CB=CB)
     Y_out[:] = YT
     Vinv_out[:] = VinvT
     zp_out[:] = zpT
@@ -264,50 +363,81 @@ def _vinv_apply(VinvT, q):
             v02 * q[0] + v12 * q[1] + v22 * q[2]]
 
 
-def _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, *, C, D,
-                   n_fixed, backsub, zp_ref=None):
+def _coupling_body(Y_ref, Vinv_ref, slotT, maskT, fetch_x, *, C, D,
+                   n_fixed, CB, backsub, zp_ref=None):
     """Shared math of the matvec and backsub kernels.
 
-    matvec:  returns (C_adj, 6) contribution  W V^-1 W^T x   (lane-reduced)
+    ``fetch_x(d) -> (6, TP)`` supplies slot d's camera vector x (one-hot
+    gather in gather mode, pre-gathered slice in pregather mode; fixed
+    cameras read zero rows either way).
+
+    matvec:  returns (6, C_adj) contribution  W V^-1 W^T x   (lane-reduced,
+        cameras on lanes — see _scatter_chunks on the orientation)
     backsub: returns (3, TP) rows  dp = -(z_p + V^-1 W^T x)
     """
-    xT = x_ref[:]                                            # (6, C)
+    C_adj = max(C - n_fixed, 1)
 
     def slot_Y(d):
         return [[Y_ref[d * 18 + i * 3 + l:d * 18 + i * 3 + l + 1, :]
                  for l in range(3)] for i in range(6)]
 
-    out = 0.0
     q = [0.0, 0.0, 0.0]
+    stash = []
     for d in range(D):
-        # the duplicate one-hot build in the second loop below is CSE'd by
-        # the compiler (pure, identical expression) — no manual stash needed
-        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
-        xs = _dotCP(xT, oh)                                  # (6, TP)
+        xs = fetch_x(d)                                      # (6, TP)
         Y = slot_Y(d)
         for l in range(3):
             q[l] = q[l] + sum(Y[i][l] * xs[i:i + 1, :] for i in range(6))
+        stash.append(Y)
     z = _vinv_apply(Vinv_ref[:], q)
     if backsub:
         zp = zp_ref[:]
         return jnp.concatenate(
             [-(zp[l:l + 1, :] + z[l]) for l in range(3)], axis=0)
+    out = 0.0
     for d in range(D):
-        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
-        Y = slot_Y(d)
+        Y = stash[d]
         w2 = jnp.concatenate(
             [Y[i][0] * z[0] + Y[i][1] * z[1] + Y[i][2] * z[2]
              for i in range(6)], axis=0)                     # (6, TP)
-        out = out + _dotPP(oh[n_fixed:, :], w2)              # (C_adj, 6)
+        out = _scatter_chunks(slotT, maskT, w2, out, d=d, C_adj=C_adj,
+                              n_fixed=n_fixed, CB=CB)
     return out
 
 
-def _matvec_kernel(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, out_ref,
-                   *, C, D, n_fixed):
+def _x_gather_fetch(x_ref, slot_ref, mask_ref, *, C):
+    def fetch_x(d):
+        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
+        return _dotCP(x_ref[:], oh)
+    return fetch_x
+
+
+def _x_pre_fetch(xg_ref):
+    def fetch_x(d):
+        return xg_ref[d * 6:(d + 1) * 6, :]
+    return fetch_x
+
+
+def _matvec_kernel_gather(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
+                          out_ref, *, C, D, n_fixed, CB):
+    fetch_x = _x_gather_fetch(x_ref, slot_ref, mask_ref, C=C)
+    _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
+                   C=C, D=D, n_fixed=n_fixed, CB=CB)
+
+
+def _matvec_kernel_pre(Y_ref, Vinv_ref, slot_ref, mask_ref, xg_ref,
+                       out_ref, *, C, D, n_fixed, CB):
+    fetch_x = _x_pre_fetch(xg_ref)
+    _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
+                   C=C, D=D, n_fixed=n_fixed, CB=CB)
+
+
+def _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
+                   *, C, D, n_fixed, CB):
     from jax.experimental import pallas as pl
 
-    out = _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
-                         C=C, D=D, n_fixed=n_fixed, backsub=False)
+    out = _coupling_body(Y_ref, Vinv_ref, slot_ref[:], mask_ref[:], fetch_x,
+                         C=C, D=D, n_fixed=n_fixed, CB=CB, backsub=False)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -316,22 +446,31 @@ def _matvec_kernel(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref, out_ref,
     out_ref[:] = out_ref[:] + out
 
 
-def _backsub_kernel(Y_ref, Vinv_ref, zp_ref, slot_ref, mask_ref, x_ref,
-                    dp_out, *, C, D, n_fixed):
-    dp_out[:] = _coupling_body(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
-                               C=C, D=D, n_fixed=n_fixed, backsub=True,
-                               zp_ref=zp_ref)
+def _backsub_kernel_gather(Y_ref, Vinv_ref, zp_ref, slot_ref, mask_ref,
+                           x_ref, dp_out, *, C, D, n_fixed, CB):
+    fetch_x = _x_gather_fetch(x_ref, slot_ref, mask_ref, C=C)
+    dp_out[:] = _coupling_body(Y_ref, Vinv_ref, slot_ref[:], mask_ref[:],
+                               fetch_x, C=C, D=D, n_fixed=n_fixed, CB=CB,
+                               backsub=True, zp_ref=zp_ref)
 
 
-def _cost_body(R_rows, tvT, ptT, slotT, maskT, uvT, scal, *, C, D):
+def _backsub_kernel_pre(Y_ref, Vinv_ref, zp_ref, xg_ref, dp_out,
+                        *, C, D, n_fixed, CB):
+    fetch_x = _x_pre_fetch(xg_ref)
+    # pregather backsub touches no camera index at all: x rows for fixed or
+    # dead slots are zero (pad_x) and Y rows are w-masked
+    dp_out[:] = _coupling_body(Y_ref, Vinv_ref, None, None, fetch_x,
+                               C=C, D=D, n_fixed=n_fixed, CB=CB,
+                               backsub=True, zp_ref=zp_ref)
+
+
+def _cost_body(fetch, ptT, maskT, uvT, scal, *, D):
     delta = scal[0:1, 5:6]
     huber = 0.0
     sq = 0.0
     for d in range(D):
-        slot = slotT[d:d + 1, :]
-        m = maskT[d:d + 1, :]
-        oh = _slot_onehot(slot, m, C)
-        _, _, _, m, r = _slot_frame(R_rows, tvT, ptT, oh, maskT, uvT, scal, d)
+        Rg, tg = fetch(d)
+        _, _, m, r = _slot_frame(Rg, tg, ptT, maskT, uvT, scal, d)
         for k in range(2):
             av = jnp.abs(r[k])
             quad = r[k] * r[k]
@@ -341,12 +480,29 @@ def _cost_body(R_rows, tvT, ptT, slotT, maskT, uvT, scal, *, C, D):
     return 0.5 * huber, sq
 
 
-def _cost_kernel(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref, scal_ref,
-                 out_ref, *, C, D):
+def _cost_kernel_gather(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref,
+                        scal_ref, out_ref, *, C, D):
+    def fetch(d):
+        oh = _slot_onehot(slot_ref[d:d + 1, :], mask_ref[d:d + 1, :], C)
+        return _dotCP(R_ref[:], oh), _dotCP(tv_ref[:], oh)
+
+    _cost_common(fetch, pt_ref, mask_ref, uv_ref, scal_ref, out_ref, D=D)
+
+
+def _cost_kernel_pre(camc_ref, pt_ref, mask_ref, uv_ref, scal_ref, out_ref,
+                     *, C, D):
+    def fetch(d):
+        sl = camc_ref[d * 12:(d + 1) * 12, :]
+        return sl[0:9, :], sl[9:12, :]
+
+    _cost_common(fetch, pt_ref, mask_ref, uv_ref, scal_ref, out_ref, D=D)
+
+
+def _cost_common(fetch, pt_ref, mask_ref, uv_ref, scal_ref, out_ref, *, D):
     from jax.experimental import pallas as pl
 
-    huber, sq = _cost_body(R_ref[:], tv_ref[:], pt_ref[:], slot_ref[:],
-                           mask_ref[:], uv_ref[:], scal_ref[:], C=C, D=D)
+    huber, sq = _cost_body(fetch, pt_ref[:], mask_ref[:], uv_ref[:],
+                           scal_ref[:], D=D)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
     acc = jnp.where(lane == 0, huber, sq)
 
@@ -357,63 +513,109 @@ def _cost_kernel(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref, scal_ref,
     out_ref[:] = out_ref[:] + acc
 
 
+# ---------------------------------------------------------------------------
+# VMEM planning.
+#
 # Mosaic's scoped-VMEM limit is 16 MB on v5e; leave headroom for compiler
 # temporaries the model below doesn't see.  (Round-3 shipped a hard-coded
 # TP=1024 cost tile at C=1000 that overflowed to 19.23 MB on hardware —
 # BENCH_r03 — because the table encoded two measured points, not the budget.)
+# ---------------------------------------------------------------------------
+
 _VMEM_BUDGET = 13 * (1 << 20)
 _KERNEL_KINDS = ("setup", "matvec", "backsub", "cost")
+# in-kernel gathers are cheap below this camera count; above it the gather
+# one-hots' C·TP transients and O(C·D·P) matmul FLOPs both argue for the
+# XLA pre-gather (measured crossover discussion in BASELINE.md)
+_PREGATHER_MIN_C = 513
 
 
-def _vmem_bytes(kind: str, C: int, D: int, TP: int) -> int:
-    """Per-tile Mosaic working-set estimate (bytes) for each kernel.
+def _vmem_bytes(kind: str, C: int, D: int, TP: int,
+                pregather: bool, CB: int) -> int:
+    """Per-tile Mosaic working-set estimate (bytes).
 
-    Calibrated against measured scoped-VMEM footprints on v5e at C=1000, D=4:
-      setup  TP=512  -> 21.95 MB (OOM; model 23.4)   TP=256 -> fits (11.9)
-      cost   TP=1024 -> 19.23 MB (OOM; model 21.0)   TP=256 -> fits  (5.7)
-    The dominant transients are the unrolled per-slot (C, TP) f32 one-hots;
-    the model charges one per construction *site* (Mosaic keeps the unrolled
-    slot loop's values live), plus the per-slot row stacks and the gathered
-    camera-table / reduction-accumulator I/O."""
-    lane = C * TP * 4          # one (C, TP) f32 one-hot
+    Gather mode is calibrated against measured scoped-VMEM footprints on
+    v5e at C=1000, D=4:
+      setup  TP=512  -> 21.95 MB (OOM)   TP=256 -> fits
+      cost   TP=1024 -> 19.23 MB (OOM)   TP=256 -> fits
+    charging one (C, TP) one-hot per construction *site* (Mosaic keeps the
+    unrolled slot loop's values live).  Pregather mode replaces the gather
+    sites with streamed input rows; only the (CB, TP) scatter chunks remain.
+    """
+    lane = C * TP * 4          # one (C, TP) gather one-hot
+    chunk = min(CB, max(C, 1)) * TP * 4   # one (CB, TP) scatter one-hot
     row = TP * 4               # one (1, TP) f32 row
-    io = 39 * C * 4 + 84 * C * 4   # R/dR/tv camera tables + red accumulator
+    red_io = 64 * C * 4        # (54/6, C_adj) accumulators, sublane-padded
     if kind == "setup":
-        # loop 1: D one-hot sites + 22 stashed rows/slot (w, r, jc, jp);
-        # loop 2: D oh_adj sites + the (84, TP) reduction row stack
-        return (2 * D + 3) * lane + (22 * D + 84) * row + io
+        stash = (22 * D + 54) * row           # w/r/jc/jp rows + scatter rows
+        outs = (18 * D + 9) * row * 2         # Y/Vinv/zp tiles, dbl-buffered
+        if pregather:
+            return (D * chunk + 2 * 39 * D * row + stash + outs
+                    + (4 * D + 8) * row + red_io)
+        return (D + 3) * lane + D * chunk + stash + outs \
+            + 39 * C * 4 + red_io
     if kind == "matvec":
-        # two one-hot sites per slot (gather + scatter halves) + Y stream
-        return (2 * D + 1) * lane + (2 * 18 * D + 24) * row + io
+        ys = (2 * 18 * D + 24) * row
+        if pregather:
+            return D * chunk + ys + 2 * 6 * D * row + red_io
+        return (D + 1) * lane + D * chunk + ys + 6 * C * 4 + red_io
     if kind == "backsub":
-        return (D + 1) * lane + (2 * 18 * D + 24) * row + io
+        ys = (2 * 18 * D + 30) * row
+        if pregather:
+            return ys + 2 * 6 * D * row
+        return (D + 1) * lane + ys + 6 * C * 4
     assert kind == "cost"
-    return (D + 1) * lane + (4 * D + 16) * row + io
+    if pregather:
+        return (2 * 12 * D + 4 * D + 16) * row
+    return (D + 1) * lane + (4 * D + 16) * row + 12 * C * 4
 
 
-def _pick_tile(kind: str, C: int, D: int) -> int:
-    """Largest power-of-two P-tile whose estimated working set fits the
-    scoped-VMEM budget; 0 if even the minimum lane tile (128) does not fit.
-    Bigger tiles cut the sequential grid-step count (470 -> 118 at
-    C=1000/P=120k for the light kernels, where per-step overhead dominated
-    the measured ~5 ms/pass matvec)."""
+def _ceil8(n):
+    return -(-n // 8) * 8
+
+
+def _plan(kind: str, C: int, D: int):
+    """(TP, CB, pregather) maximizing the P-tile (then the scatter chunk)
+    under the VMEM budget, or None if nothing fits.  Pregather mode only
+    pays off once the gather one-hots dominate; below _PREGATHER_MIN_C the
+    proven gather kernels run with a single scatter chunk (identical to the
+    r03-measured configs).
+
+    The SETUP kernel is pinned to a single scatter chunk (CB = C): its body
+    is already near the Mosaic compiler's complexity limit, and adding a
+    second scatter chunk crashes the compiler (measured at C=1000, r04 —
+    every multi-chunk setup variant dies with a compile-helper abort while
+    the same scatter pattern in the small matvec body compiles fine).  The
+    transposed scatter keeps the single big chunk's VMEM at CB*TP*4; the
+    compile-PROVEN boundary on v5e is CB = 1024 (C=1000 compiles and runs,
+    C=2048 aborts the compiler even single-chunk), so setup is feasible only
+    up to C <= 1024 + n_fixed and larger maps route to the XLA grid path."""
+    pregather = C >= _PREGATHER_MIN_C
+    if kind == "setup":
+        if _ceil8(C) > 1024:
+            return None
+        cbs = [_ceil8(C)]
+    else:
+        cap = min(512, _ceil8(C))
+        cbs = sorted({cap, min(cap, 256), min(cap, 128)}, reverse=True)
     for tp in (1024, 512, 256, 128):
-        if _vmem_bytes(kind, C, D, tp) <= _VMEM_BUDGET:
-            return tp
-    return 0
+        for cb in cbs:
+            if _vmem_bytes(kind, C, D, tp, pregather, cb) <= _VMEM_BUDGET:
+                return tp, cb, pregather
+    return None
 
 
 def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
                            ) -> bool:
     """Static gate: the kernels unroll the D slot loop (compile time) and
     every kernel's per-tile working set must fit Mosaic's scoped-VMEM budget
-    (same estimate the tile picker uses).  Outside these bounds callers use
+    (same estimate the tile planner uses).  Outside these bounds callers use
     the XLA grid/flat PCG paths."""
     P, D = grid.cam_slot.shape
     C = grid.rvecs.shape[0]
-    if not (D <= 12 and 0 <= n_fixed < C):
+    if not (D <= 12 and 0 <= n_fixed < C and C <= 8192):
         return False
-    return all(_pick_tile(k, C, D) > 0 for k in _KERNEL_KINDS)
+    return all(_plan(k, C, D) is not None for k in _KERNEL_KINDS)
 
 
 @functools.partial(
@@ -421,7 +623,7 @@ def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
     static_argnames=("n_fixed", "max_iterations", "huber_delta",
                      "lambda_init", "lambda_up", "lambda_down", "lambda_min",
                      "lambda_max", "ftol", "xtol", "cg_iters", "cg_tol",
-                     "cg_forcing", "interpret"))
+                     "cg_forcing", "interpret", "force_pregather"))
 def ba_solve_global_pallas(
     grid: ba_grid.BAProblemGrid,
     n_fixed: int = 1,
@@ -438,24 +640,28 @@ def ba_solve_global_pallas(
     cg_tol: float = 1e-6,
     cg_forcing: bool = True,
     interpret: bool = False,
+    force_pregather: bool | None = None,
 ):
     """Drop-in equivalent of ba_grid.ba_solve_grid's PCG path with the
     per-observation stages fused into Pallas kernels.  Returns
-    (rvecs, tvecs, points, BAStats) exactly like ba_solve_grid."""
+    (rvecs, tvecs, points, BAStats) exactly like ba_solve_grid.
+    ``force_pregather`` overrides the size-based mode pick (testing)."""
     from jax.experimental import pallas as pl
 
     C = grid.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
     P, D = grid.cam_slot.shape
-    tiles = {k: _pick_tile(k, C, D) for k in _KERNEL_KINDS}
-    if min(tiles.values()) == 0:
+    plans = {k: _plan(k, C, D) for k in _KERNEL_KINDS}
+    if any(p is None for p in plans.values()):
         raise ValueError(
             f"global Pallas kernels ineligible at C={C}, D={D}: working set "
             f"exceeds the {_VMEM_BUDGET >> 20} MB scoped-VMEM budget at the "
             "minimum tile (gate with kernel_eligible_global)")
-    TP = tiles["setup"]
+    if force_pregather is not None:
+        plans = {k: (tp, cb, force_pregather)
+                 for k, (tp, cb, _) in plans.items()}
     # every tile divides the max (all powers of two) so one padded P works
-    TP_max = max(tiles.values())
+    TP_max = max(tp for tp, _, _ in plans.values())
     P_pad = -(-P // TP_max) * TP_max
     pad = P_pad - P
 
@@ -474,67 +680,126 @@ def ba_solve_global_pallas(
              lam, jnp.float32(huber_delta), jnp.float32(0), jnp.float32(0)]
         ).astype(jnp.float32)[None, :]
 
-    def tile_for(kind):
-        tp = tiles[kind]
-        return (lambda rows: pl.BlockSpec((rows, tp), lambda i: (0, i)),
-                P_pad // tp)
-
-    tiled, n_tiles = tile_for("setup")
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
 
+    def tile_for(kind):
+        tp, cb, pre = plans[kind]
+        tiled = lambda rows, tp=tp: pl.BlockSpec((rows, tp),
+                                                 lambda i: (0, i))
+        return tiled, P_pad // tp, cb, pre
+
+    def slot_major(rowsC, n_rows):
+        """XLA pre-gather: (n_rows, C) table -> (D*n_rows, P_pad), slot-major
+        contiguous rows per slot."""
+        g = jnp.take(rowsC, slotT, axis=1)           # (n_rows, D, P_pad)
+        return g.transpose(1, 0, 2).reshape(D * n_rows, P_pad)
+
     def run_setup(R_rows, dR_rows, tvT, ptT, lam):
+        tiled, n_tiles, cb, pre = tile_for("setup")
+        nch = _c_pad(C_adj, cb) // cb
+        out_specs = (tiled(D * 18), tiled(6), tiled(3),
+                     full(nch * _RED_COLS, cb))
+        out_shape = (
+            jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nch * _RED_COLS, cb), jnp.float32),
+        )
+        if pre:
+            camT = slot_major(
+                jnp.concatenate([R_rows, dR_rows, tvT], axis=0), 39)
+            return pl.pallas_call(
+                functools.partial(_setup_kernel_pre, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb),
+                grid=(n_tiles,),
+                in_specs=[tiled(39 * D), tiled(3), tiled(D), tiled(D),
+                          tiled(2 * D), tiled(1), full(1, 8)],
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret,
+            )(camT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
         return pl.pallas_call(
-            functools.partial(_setup_kernel, C=C, D=D, n_fixed=n_fixed),
+            functools.partial(_setup_kernel_gather, C=C, D=D,
+                              n_fixed=n_fixed, CB=cb),
             grid=(n_tiles,),
             in_specs=[full(9, C), full(27, C), full(3, C), tiled(3),
                       tiled(D), tiled(D), tiled(2 * D), tiled(1), full(1, 8)],
-            out_specs=(tiled(D * 18), tiled(6), tiled(3),
-                       full(C_adj, _RED_COLS)),
-            out_shape=(
-                jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
-                jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
-                jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
-                jax.ShapeDtypeStruct((C_adj, _RED_COLS), jnp.float32),
-            ),
+            out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
+        )(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT,
+          scal_row(lam))
 
     def run_matvec(YT, VinvT, xT):
-        tiled_m, n_tiles_m = tile_for("matvec")
+        tiled, n_tiles, cb, pre = tile_for("matvec")
+        nch = _c_pad(C_adj, cb) // cb
+        common = dict(
+            grid=(n_tiles,),
+            out_specs=full(nch * 6, cb),
+            out_shape=jax.ShapeDtypeStruct((nch * 6, cb), jnp.float32),
+            interpret=interpret)
+        if pre:
+            xg = slot_major(xT, 6)
+            return pl.pallas_call(
+                functools.partial(_matvec_kernel_pre, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb),
+                in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
+                          tiled(6 * D)],
+                **common,
+            )(YT, VinvT, slotT, maskT, xg)
         return pl.pallas_call(
-            functools.partial(_matvec_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles_m,),
-            in_specs=[tiled_m(D * 18), tiled_m(6), tiled_m(D), tiled_m(D),
+            functools.partial(_matvec_kernel_gather, C=C, D=D,
+                              n_fixed=n_fixed, CB=cb),
+            in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
                       full(6, C)],
-            out_specs=full(C_adj, 6),
-            out_shape=jax.ShapeDtypeStruct((C_adj, 6), jnp.float32),
-            interpret=interpret,
+            **common,
         )(YT, VinvT, slotT, maskT, xT)
 
     def run_backsub(YT, VinvT, zpT, xT):
-        tiled_b, n_tiles_b = tile_for("backsub")
-        return pl.pallas_call(
-            functools.partial(_backsub_kernel, C=C, D=D, n_fixed=n_fixed),
-            grid=(n_tiles_b,),
-            in_specs=[tiled_b(D * 18), tiled_b(6), tiled_b(3), tiled_b(D),
-                      tiled_b(D), full(6, C)],
-            out_specs=tiled_b(3),
+        tiled, n_tiles, cb, pre = tile_for("backsub")
+        common = dict(
+            grid=(n_tiles,),
+            out_specs=tiled(3),
             out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
-            interpret=interpret,
+            interpret=interpret)
+        if pre:
+            xg = slot_major(xT, 6)
+            return pl.pallas_call(
+                functools.partial(_backsub_kernel_pre, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb),
+                in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(6 * D)],
+                **common,
+            )(YT, VinvT, zpT, xg)
+        return pl.pallas_call(
+            functools.partial(_backsub_kernel_gather, C=C, D=D,
+                              n_fixed=n_fixed, CB=cb),
+            in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(D),
+                      tiled(D), full(6, C)],
+            **common,
         )(YT, VinvT, zpT, slotT, maskT, xT)
 
     def run_cost(rv, tv, ptT):
-        tiled_c, n_tiles_c = tile_for("cost")
+        tiled, n_tiles, _, pre = tile_for("cost")
         R_rows, _ = _rodrigues_rows(rv.T, want_jac=False)
-        out = pl.pallas_call(
-            functools.partial(_cost_kernel, C=C, D=D),
-            grid=(n_tiles_c,),
-            in_specs=[full(9, C), full(3, C), tiled_c(3), tiled_c(D),
-                      tiled_c(D), tiled_c(2 * D), full(1, 8)],
+        common = dict(
+            grid=(n_tiles,),
             out_specs=full(1, 2),
             out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
-            interpret=interpret,
-        )(R_rows, tv.T, ptT, slotT, maskT, uvT, scal_row(jnp.float32(0)))
+            interpret=interpret)
+        if pre:
+            camcT = slot_major(
+                jnp.concatenate([R_rows, tv.T], axis=0), 12)
+            out = pl.pallas_call(
+                functools.partial(_cost_kernel_pre, C=C, D=D),
+                in_specs=[tiled(12 * D), tiled(3), tiled(D), tiled(2 * D),
+                          full(1, 8)],
+                **common,
+            )(camcT, ptT, maskT, uvT, scal_row(jnp.float32(0)))
+        else:
+            out = pl.pallas_call(
+                functools.partial(_cost_kernel_gather, C=C, D=D),
+                in_specs=[full(9, C), full(3, C), tiled(3), tiled(D),
+                          tiled(D), tiled(2 * D), full(1, 8)],
+                **common,
+            )(R_rows, tv.T, ptT, slotT, maskT, uvT, scal_row(jnp.float32(0)))
         return out[0, 0], out[0, 1]
 
     def pad_x(x):
@@ -546,20 +811,26 @@ def ba_solve_global_pallas(
 
     def solve_step(rv, tv, ptT, lam, tol):
         R_rows, dR_rows = _rodrigues_rows(rv.T, want_jac=True)
-        YT, VinvT, zpT, red = run_setup(R_rows, dR_rows, tv.T, ptT, lam)
-        U = red[:, _RED_U].reshape(C_adj, 6, 6)
+        YT, VinvT, zpT, redT = run_setup(R_rows, dR_rows, tv.T, ptT, lam)
+        cb_s = plans["setup"][1]
+        red = _unscramble_chunks(redT, _RED_COLS, C_adj, cb_s)  # (C_adj, 54)
+        U = _unpack_sym6(red[:, _RED_U])
         g_c = red[:, _RED_GC]
         Wz = red[:, _RED_WZ]
-        Dred = red[:, _RED_DO].reshape(C_adj, 6, 6)
+        Dred = _unpack_sym6(red[:, _RED_DO])
         damp = lam * (jnp.abs(jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U)))
                       + 1e-6 * eye6)
         U = U + damp
         b = -g_c + Wz
         Minv = ba_grid._inv6(U - Dred + 1e-8 * eye6)
 
+        cb_m = plans["matvec"][1]
+
         def matvec(x):
             Ux = jnp.sum(U * x[:, None, :], axis=-1)
-            return Ux - run_matvec(YT, VinvT, pad_x(x))
+            WVWx = _unscramble_chunks(run_matvec(YT, VinvT, pad_x(x)),
+                                      6, C_adj, cb_m)
+            return Ux - WVWx
 
         dc = ba_flat._pcg_blocked(matvec, b, Minv, cg_iters, tol)
         dpT = run_backsub(YT, VinvT, zpT, pad_x(dc))

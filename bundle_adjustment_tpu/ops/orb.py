@@ -56,6 +56,14 @@ _GRID = 40             # physical patch side (rows/cols 37..39 unused; 40 is
 _BORDER = 19           # detection border (sampling radius + 1)
 _NUM_PAIRS = 256
 _NBINS = 30            # rBRIEF steering quantization: 2*pi/30 = 12 degrees
+_DESC_DTYPE = "bfloat16"  # descriptor-matmul operand dtype (see _describe)
+# Cross-level dedup cell (px at level 0; 0 disables).  Measured on the
+# desk/scout scorecard (tools/orb_quality.py): the r03 3px cell suppressed
+# the strongest corners' co-detections and cost ~45% of the essential-RANSAC
+# inliers (317 vs 583 aggregate); 1px removes only true same-pixel
+# duplicates and matches the no-dedup quality while keeping the map free of
+# self-duplicate points.
+_DEDUP_CELL_PX = 1.0
 
 # toggle for the Pallas DMA patch-gather (ops/orb_pallas.py); module-level so
 # a host can fall back to the XLA slice-gather if Mosaic rejects the kernel
@@ -329,8 +337,9 @@ def _describe(blurred, yx, angle):
     patches = _extract_patches(blurred, start_y, start_x)   # (B, 40, 40)
     # centered at 128 so bf16 quantization error is ~0.25 intensity steps;
     # the shift cancels exactly in every pair difference (columns sum to 0)
-    pm = patches.reshape(-1, _GRID * _GRID).astype(jnp.bfloat16)
-    D = jnp.asarray(_PATTERN_MATRIX, jnp.bfloat16)
+    dt = jnp.dtype(_DESC_DTYPE)
+    pm = patches.reshape(-1, _GRID * _GRID).astype(dt)
+    D = jnp.asarray(_PATTERN_MATRIX, dt)
     vals = jax.lax.dot_general(
         pm, D, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).reshape(-1, _NBINS, _NUM_PAIRS)
@@ -428,22 +437,27 @@ def extract(
     # Cross-level dedup: the same physical corner detected at adjacent pyramid
     # levels yields near-identical descriptors, so a keypoint's own duplicate
     # becomes its 2nd-nearest neighbor and Lowe's ratio test kills the true
-    # match.  Keep only the highest-response keypoint per 3px level-0 cell
-    # (segment-max with index tie-break; single pass, static shapes).
-    cell_w = (width + 2) // 3 + 1
-    cell = (
-        jnp.clip((xy[:, 1] / 3.0).astype(jnp.int32), 0, (height + 2) // 3) * cell_w
-        + jnp.clip((xy[:, 0] / 3.0).astype(jnp.int32), 0, cell_w - 1)
-    )
-    n_cells = ((height + 2) // 3 + 1) * cell_w
-    n = resp.shape[0]
-    # unique integer rank (best response = highest score) so exactly one
-    # winner per cell regardless of f32 ties
-    order = jnp.argsort(jnp.where(valid, -resp, jnp.inf))
-    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    score = -rank
-    cell_best = jax.ops.segment_max(score, cell, num_segments=n_cells)
-    valid = valid & (score == cell_best[cell])
+    # match.  Keep only the highest-response keypoint per _DEDUP_CELL_PX
+    # level-0 cell (segment-max with index tie-break; single pass, static
+    # shapes).
+    if _DEDUP_CELL_PX > 0:
+        cp = _DEDUP_CELL_PX
+        cell_w = int((width + 2) // cp) + 1
+        cell_h = int((height + 2) // cp) + 1
+        cell = (
+            jnp.clip((xy[:, 1] / cp).astype(jnp.int32), 0, cell_h - 1) * cell_w
+            + jnp.clip((xy[:, 0] / cp).astype(jnp.int32), 0, cell_w - 1)
+        )
+        n_cells = cell_h * cell_w
+        n = resp.shape[0]
+        # unique integer rank (best response = highest score) so exactly one
+        # winner per cell regardless of f32 ties
+        order = jnp.argsort(jnp.where(valid, -resp, jnp.inf))
+        rank = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        score = -rank
+        cell_best = jax.ops.segment_max(score, cell, num_segments=n_cells)
+        valid = valid & (score == cell_best[cell])
 
     # compact to the top num_features survivors by response (static shape)
     sel_score = jnp.where(valid, resp, -jnp.inf)

@@ -61,8 +61,8 @@ def _make_problem(rng, C=12, P=600, obs_per_pt=4, noise=0.5):
     return ba_grid.from_flat(prob)
 
 
-def _setup_outputs_interp(grid, lam, n_fixed=1):
-    """One _setup_kernel pass (interpret mode) -> (YT, VinvT, zpT, red)."""
+def _setup_outputs_interp(grid, lam, n_fixed=1, pregather=False, CB=None):
+    """One setup-kernel pass (interpret mode) -> (YT, VinvT, zpT, red)."""
     from functools import partial
 
     from jax.experimental import pallas as pl
@@ -72,6 +72,7 @@ def _setup_outputs_interp(grid, lam, n_fixed=1):
     C_adj = C - n_fixed
     P, D = grid.cam_slot.shape
     TP = 256
+    CB = CB or min(512, gp._ceil8(C))
     P_pad = -(-P // TP) * TP
     pad = P_pad - P
     ptT = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
@@ -86,31 +87,53 @@ def _setup_outputs_interp(grid, lam, n_fixed=1):
                       jnp.float32(0)]).astype(jnp.float32)[None, :]
     R_rows, dR_rows = gp._rodrigues_rows(
         grid.rvecs.astype(jnp.float32).T, want_jac=True)
+    tvT = grid.tvecs.astype(jnp.float32).T
 
+    nch = gp._c_pad(C_adj, CB) // CB
     tiled = lambda rows: pl.BlockSpec((rows, TP), lambda i: (0, i))
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
-    out = pl.pallas_call(
-        partial(gp._setup_kernel, C=C, D=D, n_fixed=n_fixed),
-        grid=(P_pad // TP,),
-        in_specs=[full(9, C), full(27, C), full(3, C), tiled(3), tiled(D),
-                  tiled(D), tiled(2 * D), tiled(1), full(1, 8)],
-        out_specs=(tiled(D * 18), tiled(6), tiled(3),
-                   full(C_adj, gp._RED_COLS)),
-        out_shape=(
-            jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
-            jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
-            jax.ShapeDtypeStruct((C_adj, gp._RED_COLS), jnp.float32),
-        ),
-        interpret=True,
-    )(R_rows, dR_rows, grid.tvecs.astype(jnp.float32).T, ptT, slotT, maskT,
-      uvT, pmaskT, scal)
-    return out, P
+    out_specs = (tiled(D * 18), tiled(6), tiled(3),
+                 full(nch * gp._RED_COLS, CB))
+    out_shape = (
+        jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+        jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+        jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+        jax.ShapeDtypeStruct((nch * gp._RED_COLS, CB), jnp.float32),
+    )
+    if pregather:
+        camT = jnp.take(jnp.concatenate([R_rows, dR_rows, tvT], axis=0),
+                        slotT, axis=1).transpose(1, 0, 2).reshape(
+                            39 * D, P_pad)
+        out = pl.pallas_call(
+            partial(gp._setup_kernel_pre, C=C, D=D, n_fixed=n_fixed, CB=CB),
+            grid=(P_pad // TP,),
+            in_specs=[tiled(39 * D), tiled(3), tiled(D), tiled(D),
+                      tiled(2 * D), tiled(1), full(1, 8)],
+            out_specs=out_specs, out_shape=out_shape, interpret=True,
+        )(camT, ptT, slotT, maskT, uvT, pmaskT, scal)
+    else:
+        out = pl.pallas_call(
+            partial(gp._setup_kernel_gather, C=C, D=D, n_fixed=n_fixed,
+                    CB=CB),
+            grid=(P_pad // TP,),
+            in_specs=[full(9, C), full(27, C), full(3, C), tiled(3),
+                      tiled(D), tiled(D), tiled(2 * D), tiled(1),
+                      full(1, 8)],
+            out_specs=out_specs, out_shape=out_shape, interpret=True,
+        )(R_rows, dR_rows, tvT, ptT, slotT, maskT, uvT, pmaskT, scal)
+    YT, VinvT, zpT, redT = out
+    red = gp._unscramble_chunks(redT, gp._RED_COLS, C_adj, CB)
+    return (YT, VinvT, zpT, red), P
 
 
-def test_setup_reductions_match_xla_step():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["gather", "pregather", "chunked"])
+def test_setup_reductions_match_xla_step(mode):
     """The setup kernel's U / g_c / Wz / precond reductions and the V^-1
-    elimination must reproduce ops/ba_grid's values."""
+    elimination must reproduce ops/ba_grid's values — in both camera-row
+    fetch modes, and with a scatter chunk smaller than C (multi-chunk)."""
     rng = np.random.default_rng(3)
     grid = _make_problem(rng)
     n_fixed = 1
@@ -119,7 +142,9 @@ def test_setup_reductions_match_xla_step():
     C_adj = C - n_fixed
     P, D = grid.cam_slot.shape
 
-    (YT, VinvT, zpT, red), _ = _setup_outputs_interp(grid, lam, n_fixed)
+    (YT, VinvT, zpT, red), _ = _setup_outputs_interp(
+        grid, lam, n_fixed, pregather=(mode == "pregather"),
+        CB=8 if mode == "chunked" else None)
 
     # XLA reference pieces, computed exactly as _solve_step_pcg does
     r, Jc, Jp = ba_grid._grid_terms(
@@ -160,27 +185,30 @@ def test_setup_reductions_match_xla_step():
         YV[..., :, None, :] * Y[..., None, :, :], axis=-1).reshape(-1, 36)
     ).reshape(C_adj, 6, 6)
 
-    red = np.asarray(red)
-    np.testing.assert_allclose(red[:, :36].reshape(C_adj, 6, 6),
-                               np.asarray(U_ref), rtol=1e-2, atol=1e-2)
-    np.testing.assert_allclose(red[:, 36:42], np.asarray(gc_ref),
-                               rtol=1e-2, atol=1e-2)
-    np.testing.assert_allclose(red[:, 42:48], np.asarray(Wz_ref),
-                               rtol=1e-2, atol=1e-2)
-    np.testing.assert_allclose(red[:, 48:84].reshape(C_adj, 6, 6),
-                               np.asarray(Do_ref), rtol=1e-2, atol=1e-2)
+    gp = ba_global_pallas
+    np.testing.assert_allclose(
+        np.asarray(gp._unpack_sym6(red[:, gp._RED_U])),
+        np.asarray(U_ref), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(red)[:, gp._RED_GC],
+                               np.asarray(gc_ref), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(red)[:, gp._RED_WZ],
+                               np.asarray(Wz_ref), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(gp._unpack_sym6(red[:, gp._RED_DO])),
+        np.asarray(Do_ref), rtol=1e-2, atol=1e-2)
 
 
-def test_full_solve_matches_grid_pcg():
+@pytest.mark.parametrize("pregather", [False, True])
+def test_full_solve_matches_grid_pcg(pregather):
     """Whole-solve LM trajectory parity: same iteration count ballpark and
-    final cost within 1% of ba_solve_grid's PCG path."""
+    final cost within 1% of ba_solve_grid's PCG path, in both fetch modes."""
     rng = np.random.default_rng(5)
     grid = _make_problem(rng)
     kwargs = dict(n_fixed=1, max_iterations=15, ftol=0.0, xtol=0.0,
                   lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True)
     rv_x, tv_x, pt_x, st_x = ba_grid.ba_solve_grid(grid, **kwargs)
     rv_k, tv_k, pt_k, st_k = ba_global_pallas.ba_solve_global_pallas(
-        grid, interpret=True, **kwargs)
+        grid, interpret=True, force_pregather=pregather, **kwargs)
 
     np.testing.assert_allclose(float(st_k.initial_cost),
                                float(st_x.initial_cost), rtol=1e-5)
@@ -217,31 +245,48 @@ def test_vmem_tile_picker_budget():
     """The round-3 regression, encoded: hard-coded TP tables shipped a cost
     kernel at C=1000/TP=1024 that overflowed Mosaic's 16 MB scoped VMEM on
     hardware (BENCH_r03: 19.23M > 16M).  The budget model must classify the
-    measured OOM configs as over-budget and the measured-working configs as
-    under, and the picker must never return an over-budget tile."""
+    measured OOM configs (gather mode) as over-budget and the measured
+    working configs as under, and the planner must never return an
+    over-budget (tile, chunk)."""
     gp = ba_global_pallas
     limit = 16 << 20
-    # measured OOM points (v5e, D=4): model must put them over the HW limit
-    assert gp._vmem_bytes("cost", C=1000, D=4, TP=1024) > limit
-    assert gp._vmem_bytes("setup", C=1000, D=4, TP=512) > limit
+    # measured OOM points (v5e, D=4, gather mode, single chunk = C)
+    assert gp._vmem_bytes("cost", 1000, 4, 1024, False, 1000) > limit
+    assert gp._vmem_bytes("setup", 1000, 4, 512, False, 512) > limit
     # measured working points: model must keep them under the picker budget
-    assert gp._vmem_bytes("cost", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
-    assert gp._vmem_bytes("setup", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
-    assert gp._vmem_bytes("matvec", C=1000, D=4, TP=256) <= gp._VMEM_BUDGET
-    # the picker never selects an over-budget tile, for any (C, D) it accepts
-    for C in (6, 200, 256, 512, 1000, 2048, 4096):
+    assert gp._vmem_bytes("cost", 1000, 4, 256, False, 512) <= gp._VMEM_BUDGET
+    assert gp._vmem_bytes("setup", 1000, 4, 256, False, 512) <= gp._VMEM_BUDGET
+    assert gp._vmem_bytes("matvec", 1000, 4, 256, False, 512) <= gp._VMEM_BUDGET
+    # hardware-proven r04 compile-smoke configs must stay reachable:
+    # C=256 all-1024, C=512 setup/matvec 512
+    assert gp._plan("setup", 256, 4)[0] == 1024
+    assert gp._plan("setup", 512, 4)[0] >= 512
+    # the planner never selects an over-budget config, for any (C, D)
+    for C in (6, 200, 256, 512, 1000, 2048, 4096, 8192):
         for D in (2, 4, 8, 12):
             for kind in gp._KERNEL_KINDS:
-                tp = gp._pick_tile(kind, C, D)
-                if tp:
-                    assert gp._vmem_bytes(kind, C, D, tp) <= gp._VMEM_BUDGET
+                plan = gp._plan(kind, C, D)
+                if plan is not None:
+                    tp, cb, pre = plan
+                    assert gp._vmem_bytes(kind, C, D, tp, pre, cb) \
+                        <= gp._VMEM_BUDGET
                     assert tp >= 128 and (tp & (tp - 1)) == 0
-    # eligibility consults the same estimate: whenever the gate passes, every
-    # kernel has a feasible tile
+                    # setup runs one full-width chunk (<=1024, see _plan);
+                    # the light kernels chunk at <=512
+                    assert 0 < cb <= (1024 if kind == "setup" else 512)
+    # pregather + the transposed single-chunk setup scatter keep the
+    # lehman-scale C=1000 map eligible with TP=1024 light kernels; beyond
+    # the compile-proven setup boundary (CB=1024, see _plan) the gate must
+    # say no — route to XLA — not crash
+    for C in (513, 1000, 1024):
+        assert all(gp._plan(k, C, 4) is not None for k in gp._KERNEL_KINDS)
+    for C in (2048, 4096, 8192):
+        assert gp._plan("setup", C, 4) is None
+    # eligibility consults the same planner
     rng = np.random.default_rng(7)
     grid = _make_problem(rng)
     D = grid.cam_slot.shape[1]
-    assert all(gp._pick_tile(k, grid.rvecs.shape[0], D) > 0
+    assert all(gp._plan(k, grid.rvecs.shape[0], D) is not None
                for k in gp._KERNEL_KINDS)
 
 
@@ -287,7 +332,8 @@ def test_pipeline_global_ba_falls_back_on_kernel_failure(monkeypatch):
                                   use_pallas_matcher=False)
     for f in frames:
         pipe.process_frame(f)
-    assert pipe.map.num_keyframes >= 5
+    # needs only len(window) > pcg_min_cameras=3 to hit the global PCG path
+    assert pipe.map.num_keyframes >= 4
 
     def boom(*a, **k):
         raise RuntimeError("forced Mosaic scoped-VMEM OOM (test)")

@@ -66,7 +66,11 @@ def test_reference_convention_completes(sequence):
     """Reference-parity mode must still build a map end-to-end (its ATE is
     bounded by the documented convention quirk, not asserted tightly)."""
     pipe, frame_of_kf, gt_C = run_pipeline(sequence, consistent=False)
-    assert pipe.map.num_keyframes >= 5
+    # >= 4: the r04 ORB dedup fix (orb._DEDUP_CELL_PX 3 -> 1) yields more
+    # matches per frame, so displacement/feature-ratio triggers fire less on
+    # this 16-frame sequence — one fewer keyframe, same map quality (the
+    # consistent-convention ATE test above still holds its 5% bound)
+    assert pipe.map.num_keyframes >= 4
     assert pipe.map.num_points > 100
     ba_ok = [e for e in pipe.log.events if e["event"] == "ba_complete"]
     assert ba_ok
