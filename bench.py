@@ -449,13 +449,17 @@ def bench_global_c1000(repeats=3):
     return measure(run_xla) + (path, mfu)
 
 
-def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096)):
-    """Hardware-shape compile gate (VERDICT r03 #2): COMPILE the fused global
-    kernels at every camera count the pipeline may route to them, so a
-    scoped-VMEM regression shows up as an "error:" cell in BENCH instead of
-    shipping silently (the r03 failure mode).  One LM iteration at small P —
-    the OOM risk is C-driven, not P-driven."""
-    from bundle_adjustment_tpu.ops import ba_global_pallas, ba_grid
+def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096),
+                        window_shapes=(1024, 2048, 4096, 8192)):
+    """Hardware-shape compile gate (VERDICT r03 #2): COMPILE the fused
+    kernels at every shape the pipeline may route to them, so a scoped-VMEM
+    or compiler-abort regression shows up as an "error:" cell in BENCH
+    instead of shipping silently (the r03 failure mode — and the r04 window
+    kernel at P=4096, which latched the stress run's runtime fallback).
+    Global kernels sweep the camera count (the OOM risk is C-driven);
+    the whole-solve WINDOW kernel sweeps the point bucket (its abort was
+    P-driven)."""
+    from bundle_adjustment_tpu.ops import ba_global_pallas, ba_grid, ba_pallas
 
     out = {}
     for C in shapes:
@@ -473,6 +477,28 @@ def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096)):
             out[str(C)] = "ok"
         except Exception as e:
             out[str(C)] = f"error: {e}"[:300]
+    for P in window_shapes:
+        key = f"window_P{P}"
+        rng = np.random.default_rng(19)
+        global _C, _P, _OBS_PER_PT
+        save = (_C, _P, _OBS_PER_PT)
+        try:
+            _C, _P, _OBS_PER_PT = 6, P, 4
+            prob, _ = make_window_problem(rng)
+        finally:
+            _C, _P, _OBS_PER_PT = save
+        grid = ba_grid.from_flat(prob)
+        if not ba_pallas.kernel_eligible(grid, n_fixed=1):
+            out[key] = "ineligible (gate routes to XLA)"
+            continue
+        try:
+            r = jax.block_until_ready(ba_pallas.ba_solve_grid_pallas(
+                grid, n_fixed=1, max_iterations=1, ftol=0.0, xtol=0.0,
+                lambda_max=1e30))
+            assert np.isfinite(float(r[3].final_sq))
+            out[key] = "ok"
+        except Exception as e:
+            out[key] = f"error: {e}"[:300]
     return out
 
 
@@ -657,7 +683,7 @@ def main():
         except Exception as e:
             compile_smoke = f"error: {e}"
 
-    fps, tracked_ms = None, None
+    fps, tracked_ms, fps_cold = None, None, None
     if "--no-fps" not in sys.argv:
         try:
             sys.path.insert(0, os.path.join(
@@ -667,9 +693,15 @@ def main():
             from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
 
             frames, Kc, _, _ = synthetic_sequence(n_frames=16, motion="strafe")
-            fps, tracked_ms, _, _ = run_mode(
-                frames, Kc, True, warmup=5,
-                use_pallas=jax.default_backend() == "tpu", pipelined=True)
+            # two passes: the first compiles every shape bucket this
+            # sequence hits (new buckets otherwise land INSIDE the measured
+            # span — the r04 dedup change shifted buckets and turned the
+            # r03 1.19 fps row into 0.79 until re-warmed); the second pass
+            # is the steady-state number a deployment sees
+            kw = dict(warmup=5, use_pallas=jax.default_backend() == "tpu",
+                      pipelined=True)
+            fps_cold, _, _, _ = run_mode(frames, Kc, True, **kw)
+            fps, tracked_ms, _, _ = run_mode(frames, Kc, True, **kw)
             if tracked_ms != tracked_ms:  # no tracked frames -> nan
                 tracked_ms = None
         except Exception as e:  # fps is auxiliary; never fail the bench
@@ -740,6 +772,8 @@ def main():
                                      if g_final else None),
         "frontend_fps_tracked": (round(fps, 3)
                                  if isinstance(fps, float) else fps),
+        "frontend_fps_first_run": (round(fps_cold, 3)
+                                   if isinstance(fps_cold, float) else None),
         "frontend_tracked_ms": (round(tracked_ms, 1)
                                 if isinstance(tracked_ms, float) else
                                 tracked_ms),

@@ -1203,59 +1203,91 @@ class VisualOdometryPipeline:
                           and jax.default_backend() == "tpu"
                           and ba_pallas.kernel_eligible(grid, n_fixed))
 
-            refine_problem = None
-            if refine_kf_id is not None:
-                g2 = self.map.gather_window(
-                    [refine_kf_id], self.K,
-                    self.cfg.ba.max_points, self.cfg.ba.max_obs)
-                if g2 is not None and len(g2[2]) >= 10:
-                    refine_problem = g2[0]
+            solved_big = False
+            if (not use_pallas and self.cfg.ba.use_pallas_ba
+                    and jax.default_backend() == "tpu"
+                    and not self._global_pallas_broken
+                    and len(window) - n_fixed >= 2):
+                # big-window TPU path: the whole-solve window kernel's
+                # compile-proven P<=2048 bound excludes this bucket (a
+                # 1500-4000-feature window routinely gathers 4k-11k points),
+                # but the P-TILED global fused PCG kernels handle it — ~an
+                # order of magnitude over the XLA grid solve these windows
+                # previously fell back to.  LM accept/reject + the
+                # divergence rollback below absorb the PCG inexactness.
+                from bundle_adjustment_tpu.ops import ba_global_pallas
 
-            opts = tuple(sorted(
-                (k, int(v) if k == "max_iterations" else float(v))
-                for k, v in solver_kwargs.items() if k != "n_fixed"))
-            fn_args = (n_fixed, opts, refine_problem is not None, 10,
-                       float(self.cfg.ba.huber_delta),
-                       float(self.cfg.prune_obs_reproj_px))
-            call_args = (grid, problem) + (
-                (refine_problem,) if refine_problem is not None else ())
-            try:
-                flat = np.asarray(
-                    _build_lba_refine_fn(use_pallas, *fn_args)(*call_args),
-                    np.float64)
-            except Exception as e:  # Mosaic compile limits: fall back
-                if not use_pallas:
-                    raise
-                self._pallas_ba_broken = True
-                self.log.emit(
-                    "pallas_ba_fallback",
-                    f"    -> Pallas BA kernel unavailable ({e!r}); "
-                    "using the XLA grid solver")
-                flat = np.asarray(
-                    _build_lba_refine_fn(False, *fn_args)(*call_args),
-                    np.float64)
-            C_w = len(window)
-            O_w = problem.uv.shape[0]
-            rv = flat[: 3 * C_w].reshape(C_w, 3)
-            tv = flat[3 * C_w: 6 * C_w].reshape(C_w, 3)
-            sv = flat[6 * C_w: 6 * C_w + 6]
-            refv = flat[6 * C_w + 6: 6 * C_w + 18]
-            bad_mask = flat[6 * C_w + 18: 6 * C_w + 18 + O_w] > 0.5
-            pts = flat[6 * C_w + 18 + O_w:].reshape(-1, 3)
-            stats = ba.BAStats(
-                initial_cost=sv[0], final_cost=sv[1], initial_sq=sv[2],
-                final_sq=sv[3], iterations=int(sv[4]), accepted=sv[5] > 0.5)
-            if refine_problem is not None and bool(refv[9] > 0.5) \
-                    and refv[7] < refv[6]:
-                # refine accepted & improved: write the new pose back (the
-                # window solve never touches this keyframe — ref window
-                # choice src/bundle_adjuster.py:140 always excludes it)
-                from bundle_adjustment_tpu.ops.lie import so3_exp_np
+                if ba_global_pallas.kernel_eligible_global(
+                        grid, n_fixed=n_fixed):
+                    kw = dict(solver_kwargs)
+                    kw.update(cg_iters=self.cfg.ba.cg_iters,
+                              cg_tol=self.cfg.ba.cg_tol)
+                    try:
+                        rv, tv, pts, stats = jax.block_until_ready(
+                            ba_global_pallas.ba_solve_global_pallas(
+                                grid, cg_forcing=True, **kw))
+                        solved_big = True
+                    except Exception as e:  # compile limits: latch + fall back
+                        self._global_pallas_broken = True
+                        self.log.emit(
+                            "pallas_ba_fallback",
+                            f"    -> Global Pallas BA kernels unavailable "
+                            f"({e!r}); using the XLA grid solver")
 
-                kf_r = self.map.keyframes[refine_kf_id]
-                kf_r.R = so3_exp_np(refv[0:3])
-                kf_r.t = refv[3:6].copy()
-            refine_kf_id = None  # handled; skip the fallback below
+            if not solved_big:
+                refine_problem = None
+                if refine_kf_id is not None:
+                    g2 = self.map.gather_window(
+                        [refine_kf_id], self.K,
+                        self.cfg.ba.max_points, self.cfg.ba.max_obs)
+                    if g2 is not None and len(g2[2]) >= 10:
+                        refine_problem = g2[0]
+
+                opts = tuple(sorted(
+                    (k, int(v) if k == "max_iterations" else float(v))
+                    for k, v in solver_kwargs.items() if k != "n_fixed"))
+                fn_args = (n_fixed, opts, refine_problem is not None, 10,
+                           float(self.cfg.ba.huber_delta),
+                           float(self.cfg.prune_obs_reproj_px))
+                call_args = (grid, problem) + (
+                    (refine_problem,) if refine_problem is not None else ())
+                try:
+                    flat = np.asarray(
+                        _build_lba_refine_fn(use_pallas, *fn_args)(*call_args),
+                        np.float64)
+                except Exception as e:  # Mosaic compile limits: fall back
+                    if not use_pallas:
+                        raise
+                    self._pallas_ba_broken = True
+                    self.log.emit(
+                        "pallas_ba_fallback",
+                        f"    -> Pallas BA kernel unavailable ({e!r}); "
+                        "using the XLA grid solver")
+                    flat = np.asarray(
+                        _build_lba_refine_fn(False, *fn_args)(*call_args),
+                        np.float64)
+                C_w = len(window)
+                O_w = problem.uv.shape[0]
+                rv = flat[: 3 * C_w].reshape(C_w, 3)
+                tv = flat[3 * C_w: 6 * C_w].reshape(C_w, 3)
+                sv = flat[6 * C_w: 6 * C_w + 6]
+                refv = flat[6 * C_w + 6: 6 * C_w + 18]
+                bad_mask = flat[6 * C_w + 18: 6 * C_w + 18 + O_w] > 0.5
+                pts = flat[6 * C_w + 18 + O_w:].reshape(-1, 3)
+                stats = ba.BAStats(
+                    initial_cost=sv[0], final_cost=sv[1], initial_sq=sv[2],
+                    final_sq=sv[3], iterations=int(sv[4]), accepted=sv[5] > 0.5)
+                if refine_problem is not None and bool(refv[9] > 0.5) \
+                        and refv[7] < refv[6]:
+                    # refine accepted & improved: write the new pose back (the
+                    # window solve never touches this keyframe — ref window
+                    # choice src/bundle_adjuster.py:140 always excludes it)
+                    from bundle_adjustment_tpu.ops.lie import so3_exp_np
+
+                    kf_r = self.map.keyframes[refine_kf_id]
+                    kf_r.R = so3_exp_np(refv[0:3])
+                    kf_r.t = refv[3:6].copy()
+                refine_kf_id = None  # handled; skip the fallback below
         if refine_kf_id is not None:
             # non-fused solver branches (distributed / PCG): refine runs as
             # its own dispatch, as before

@@ -425,11 +425,17 @@ def _lm_solve_values(rv0, tv0, ptT0, onehot, maskT, uvT, pmaskT, params, cfg):
 def kernel_eligible(grid: ba_grid.BAProblemGrid, n_fixed: int = 1) -> bool:
     """Static-bound gate for the fused kernel: the Gauss-Jordan unroll wants
     a small camera system and everything must fit VMEM (~16 MB/core).  Above
-    these bounds callers use the XLA grid solver or the PCG flat path."""
+    these bounds callers use the XLA grid solver or the PCG flat path.
+
+    P <= 2048 is the compile-PROVEN boundary on v5e: at P=4096 the Mosaic
+    compile helper aborts (measured r04 — the first on-hardware stress run
+    latched the runtime fallback on its very first window because this gate
+    admitted P=4096; bench's compile smoke now covers the window kernel so
+    the boundary is re-checked every bench run)."""
     P, D = grid.cam_slot.shape
     C = grid.rvecs.shape[0]
     n = max(C - n_fixed, 1) * 6
-    if n > 48 or D > 12 or P > 16384:
+    if n > 48 or D > 12 or P > 2048:
         return False
     P_pad = -(-P // 128) * 128
     # dominant VMEM residents: 3 B stacks + OHJ/right transients (n, P),
