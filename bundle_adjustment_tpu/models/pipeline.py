@@ -1063,6 +1063,37 @@ class VisualOdometryPipeline:
         return self._solve_window(all_ids, all_ids, global_ba=True,
                                   max_iterations=max_iterations)
 
+    def _try_global_kernel(self, grid, solver_kwargs, path: str):
+        """Run the fused global-BA kernels with a retry-once guard.
+
+        The axon remote-compile tunnel occasionally returns transient HTTP
+        errors (observed r04: a shape that compiles standalone failed once
+        inside a long stress run and the broad except latched the kernels
+        off for the remainder).  Retry once; only a REPEATED failure —
+        i.e. a deterministic compile limit, the r03 VMEM-OOM class — latches
+        `_global_pallas_broken` and routes this and future solves to the
+        XLA grid/flat path.  Returns (rv, tv, pts, stats) or None."""
+        from bundle_adjustment_tpu.ops import ba_global_pallas
+
+        last_err = None
+        for attempt in range(2):
+            try:
+                return jax.block_until_ready(
+                    ba_global_pallas.ba_solve_global_pallas(
+                        grid, cg_forcing=True, **solver_kwargs))
+            except Exception as e:
+                last_err = e
+                # transient tunnel failures collide with in-flight compiles
+                # from the speculative frontend; give them time to drain
+                time.sleep(2.0)
+        self._global_pallas_broken = True
+        self.log.emit(
+            "pallas_ba_fallback",
+            f"    -> Global Pallas BA kernels unavailable "
+            f"({last_err!r}); using the XLA grid/flat solver",
+            error=repr(last_err)[:300], path=path)
+        return None
+
     def _solve_window(self, window, all_ids, global_ba: bool = False,
                       refine_kf_id: Optional[int] = None,
                       max_iterations: Optional[int] = None) -> Optional[dict]:
@@ -1161,20 +1192,11 @@ class VisualOdometryPipeline:
             if use_global_pallas:
                 kw = dict(solver_kwargs)
                 kw.pop("cg_bf16", None)  # kernel is f32-exact
-                try:
-                    rv, tv, pts, stats = jax.block_until_ready(
-                        ba_global_pallas.ba_solve_global_pallas(
-                            grid, cg_forcing=True, **kw))
-                except Exception as e:  # Mosaic compile limits: fall back
-                    # (the r03 driver bench hit exactly this — a scoped-VMEM
-                    # OOM at C=1000 — and the pipeline crashed for lack of
-                    # this guard; mirror the window kernel's fallback below)
-                    self._global_pallas_broken = True
+                out = self._try_global_kernel(grid, kw, "global")
+                if out is not None:
+                    rv, tv, pts, stats = out
+                else:
                     use_global_pallas = False
-                    self.log.emit(
-                        "pallas_ba_fallback",
-                        f"    -> Global Pallas BA kernels unavailable "
-                        f"({e!r}); using the XLA grid/flat solver")
             if use_global_pallas:
                 pass  # solved above
             elif onehot_bytes <= 2 << 30:
@@ -1222,17 +1244,10 @@ class VisualOdometryPipeline:
                     kw = dict(solver_kwargs)
                     kw.update(cg_iters=self.cfg.ba.cg_iters,
                               cg_tol=self.cfg.ba.cg_tol)
-                    try:
-                        rv, tv, pts, stats = jax.block_until_ready(
-                            ba_global_pallas.ba_solve_global_pallas(
-                                grid, cg_forcing=True, **kw))
+                    out = self._try_global_kernel(grid, kw, "big_window")
+                    if out is not None:
+                        rv, tv, pts, stats = out
                         solved_big = True
-                    except Exception as e:  # compile limits: latch + fall back
-                        self._global_pallas_broken = True
-                        self.log.emit(
-                            "pallas_ba_fallback",
-                            f"    -> Global Pallas BA kernels unavailable "
-                            f"({e!r}); using the XLA grid solver")
 
             if not solved_big:
                 refine_problem = None
@@ -1251,18 +1266,31 @@ class VisualOdometryPipeline:
                            float(self.cfg.prune_obs_reproj_px))
                 call_args = (grid, problem) + (
                     (refine_problem,) if refine_problem is not None else ())
-                try:
-                    flat = np.asarray(
-                        _build_lba_refine_fn(use_pallas, *fn_args)(*call_args),
-                        np.float64)
-                except Exception as e:  # Mosaic compile limits: fall back
-                    if not use_pallas:
-                        raise
+                flat = None
+                last_err = None
+                for attempt in range(2 if use_pallas else 1):
+                    try:
+                        flat = np.asarray(
+                            _build_lba_refine_fn(use_pallas, *fn_args)(
+                                *call_args),
+                            np.float64)
+                        break
+                    except Exception as e:
+                        if not use_pallas:
+                            raise
+                        last_err = e
+                        # transient tunnel failures collide with in-flight
+                        # compiles from the speculative frontend; let them
+                        # drain before retrying, and only latch the kernel
+                        # off on a REPEATED failure
+                        time.sleep(2.0)
+                if flat is None:
                     self._pallas_ba_broken = True
                     self.log.emit(
                         "pallas_ba_fallback",
-                        f"    -> Pallas BA kernel unavailable ({e!r}); "
-                        "using the XLA grid solver")
+                        f"    -> Pallas BA kernel unavailable ({last_err!r});"
+                        f" using the XLA grid solver",
+                        error=repr(last_err)[:300], path="window")
                     flat = np.asarray(
                         _build_lba_refine_fn(False, *fn_args)(*call_args),
                         np.float64)

@@ -112,9 +112,14 @@ def _scatter_chunks(slotT, maskT, rows, red, *, d, C_adj, n_fixed, CB):
     Output orientation is (n_rows, C_adj) — rows on the SUBLANE axis — on
     purpose: the MXU pads a matmul's output lane dim to 128, so the naive
     (C_adj, 54) orientation issues 128/54 = 2.4x (setup) to 128/6 = 21x
-    (matvec) padding FLOPs.  Measured at C=1000 this orientation is what
-    takes the matvec pass from ~5 ms to near-roofline; callers transpose the
-    small result once in XLA.
+    (matvec) padding FLOPs; callers un-scramble the small result once in
+    XLA (_unscramble_chunks).  NOTE the measured residual cost (r04, C=1000):
+    the one-hot CONSTRUCTION itself is VPU-bound at ~2-4 compare/select ops
+    per (C', TP) cell — O(C'·P·D) per pass — which is what now dominates the
+    matvec pass (3.3 ms measured vs ~0.3 ms of MXU+HBM roofline).  The next
+    lever, if large-C throughput matters more: sort points by owning camera
+    in from_flat and skip chunks no slot in the tile can hit (loop-closure
+    rows keep extra chunks alive via the same mask, so it stays exact).
 
     Every chunk is a FULL CB columns; chunks stack on the SUBLANE axis — the
     output is (nchunks*n_rows, CB), un-scrambled to (C', n_rows) by
