@@ -42,6 +42,14 @@ from bundle_adjustment_tpu.utils.event_log import EventLog
 from bundle_adjustment_tpu.utils import viz
 
 
+def _grid_shape_key(grid):
+    """jit-bucket identity of a grid problem: (C, P, D).  The per-shape
+    kernel-failure latch keys on this (ADVICE r04: a deterministic Mosaic
+    failure at one oversized shape must not disable proven shapes)."""
+    P, D = grid.cam_slot.shape
+    return (int(grid.rvecs.shape[0]), int(P), int(D))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_lba_refine_fn(use_pallas: bool, n_fixed: int, opts: tuple,
                          has_refine: bool, refine_iters: int,
@@ -116,7 +124,12 @@ class VisualOdometryPipeline:
         self._last_debug_frame = None
         self._mesh = None
         self._pallas_ba_broken = False  # set on first Mosaic compile failure
-        self._global_pallas_broken = False  # same, for the global-BA kernels
+        # shape keys (C, P, D) whose fused global kernels failed twice: a
+        # deterministic compile/VMEM failure is shape-specific, so latching
+        # ONE oversized bucket must not disable proven smaller shapes
+        # (ADVICE r04); truthiness preserved — non-empty means "something
+        # is latched"
+        self._global_pallas_broken: set = set()
         self._last_loop_kf = -(10 ** 9)  # loop-closure cooldown tracker
         # fused-frontend device mirror of the last keyframe (models/frontend)
         self._front_state = None
@@ -1071,22 +1084,27 @@ class VisualOdometryPipeline:
         inside a long stress run and the broad except latched the kernels
         off for the remainder).  Retry once; only a REPEATED failure —
         i.e. a deterministic compile limit, the r03 VMEM-OOM class — latches
-        `_global_pallas_broken` and routes this and future solves to the
-        XLA grid/flat path.  Returns (rv, tv, pts, stats) or None."""
+        THIS problem's shape key in `_global_pallas_broken` (per-shape: one
+        oversized window must not disable proven smaller shapes) and routes
+        it to the XLA grid/flat path.  Returns (rv, tv, pts, stats) or
+        None."""
         from bundle_adjustment_tpu.ops import ba_global_pallas
 
         last_err = None
-        for attempt in range(2):
+        n_attempts = 2
+        for attempt in range(n_attempts):
             try:
                 return jax.block_until_ready(
                     ba_global_pallas.ba_solve_global_pallas(
                         grid, cg_forcing=True, **solver_kwargs))
             except Exception as e:
                 last_err = e
-                # transient tunnel failures collide with in-flight compiles
-                # from the speculative frontend; give them time to drain
-                time.sleep(2.0)
-        self._global_pallas_broken = True
+                if attempt + 1 < n_attempts:
+                    # transient tunnel failures collide with in-flight
+                    # compiles from the speculative frontend; give them
+                    # time to drain (no trailing sleep on the final try)
+                    time.sleep(2.0)
+        self._global_pallas_broken.add(_grid_shape_key(grid))
         self.log.emit(
             "pallas_ba_fallback",
             f"    -> Global Pallas BA kernels unavailable "
@@ -1185,7 +1203,7 @@ class VisualOdometryPipeline:
             onehot_bytes = oh_bytes_per * P_g * D_g * max(len(window) - n_fixed, 1)
             use_global_pallas = (
                 jax.default_backend() == "tpu"
-                and not self._global_pallas_broken
+                and _grid_shape_key(grid) not in self._global_pallas_broken
                 and self.cfg.ba.cg_precond_group == 1
                 and ba_global_pallas.kernel_eligible_global(
                     grid, n_fixed=n_fixed))
@@ -1228,7 +1246,8 @@ class VisualOdometryPipeline:
             solved_big = False
             if (not use_pallas and self.cfg.ba.use_pallas_ba
                     and jax.default_backend() == "tpu"
-                    and not self._global_pallas_broken
+                    and _grid_shape_key(grid) not in
+                    self._global_pallas_broken
                     and len(window) - n_fixed >= 2):
                 # big-window TPU path: the whole-solve window kernel's
                 # compile-proven P<=2048 bound excludes this bucket (a
@@ -1268,7 +1287,8 @@ class VisualOdometryPipeline:
                     (refine_problem,) if refine_problem is not None else ())
                 flat = None
                 last_err = None
-                for attempt in range(2 if use_pallas else 1):
+                n_attempts = 2 if use_pallas else 1
+                for attempt in range(n_attempts):
                     try:
                         flat = np.asarray(
                             _build_lba_refine_fn(use_pallas, *fn_args)(
@@ -1279,11 +1299,13 @@ class VisualOdometryPipeline:
                         if not use_pallas:
                             raise
                         last_err = e
-                        # transient tunnel failures collide with in-flight
-                        # compiles from the speculative frontend; let them
-                        # drain before retrying, and only latch the kernel
-                        # off on a REPEATED failure
-                        time.sleep(2.0)
+                        if attempt + 1 < n_attempts:
+                            # transient tunnel failures collide with
+                            # in-flight compiles from the speculative
+                            # frontend; let them drain before retrying, and
+                            # only latch the kernel off on a REPEATED
+                            # failure (no trailing sleep on the final try)
+                            time.sleep(2.0)
                 if flat is None:
                     self._pallas_ba_broken = True
                     self.log.emit(

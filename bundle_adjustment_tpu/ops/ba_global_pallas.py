@@ -548,7 +548,10 @@ def _vmem_bytes(kind: str, C: int, D: int, TP: int,
     sites with streamed input rows; only the (CB, TP) scatter chunks remain.
     """
     lane = C * TP * 4          # one (C, TP) gather one-hot
-    chunk = min(CB, max(C, 1)) * TP * 4   # one (CB, TP) scatter one-hot
+    # _scatter_chunks always materializes a FULL (CB, TP) chunk (one-hot
+    # rows beyond C_adj are exact zeros but still built), so charge CB
+    # as-is (ADVICE r04: min(CB, C) undercounts when CB = _ceil8(C) > C)
+    chunk = CB * TP * 4        # one (CB, TP) scatter one-hot
     row = TP * 4               # one (1, TP) f32 row
     red_io = 64 * C * 4        # (54/6, C_adj) accumulators, sublane-padded
     if kind == "setup":
@@ -579,12 +582,14 @@ def _ceil8(n):
     return -(-n // 8) * 8
 
 
-def _plan(kind: str, C: int, D: int):
+def _plan(kind: str, C: int, D: int, pregather: bool | None = None):
     """(TP, CB, pregather) maximizing the P-tile (then the scatter chunk)
-    under the VMEM budget, or None if nothing fits.  Pregather mode only
-    pays off once the gather one-hots dominate; below _PREGATHER_MIN_C the
-    proven gather kernels run with a single scatter chunk (identical to the
-    r03-measured configs).
+    under the VMEM budget, or None if nothing fits.  ``pregather=None``
+    picks the mode by size; passing a bool plans FOR that mode (so a forced
+    mode gets tiles fitted to its own working set — ADVICE r04).  Pregather
+    mode only pays off once the gather one-hots dominate; below
+    _PREGATHER_MIN_C the proven gather kernels run with a single scatter
+    chunk (identical to the r03-measured configs).
 
     The SETUP kernel is pinned to a single scatter chunk (CB = C): its body
     is already near the Mosaic compiler's complexity limit, and adding a
@@ -595,7 +600,8 @@ def _plan(kind: str, C: int, D: int):
     compile-PROVEN boundary on v5e is CB = 1024 (C=1000 compiles and runs,
     C=2048 aborts the compiler even single-chunk), so setup is feasible only
     up to C <= 1024 + n_fixed and larger maps route to the XLA grid path."""
-    pregather = C >= _PREGATHER_MIN_C
+    if pregather is None:
+        pregather = C >= _PREGATHER_MIN_C
     if kind == "setup":
         if _ceil8(C) > 1024:
             return None
@@ -656,15 +662,16 @@ def ba_solve_global_pallas(
     C = grid.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
     P, D = grid.cam_slot.shape
-    plans = {k: _plan(k, C, D) for k in _KERNEL_KINDS}
+    # a forced mode is planned FOR that mode, not retrofitted onto the
+    # auto-picked mode's tiles (its working set differs — ADVICE r04)
+    plans = {k: _plan(k, C, D, pregather=force_pregather)
+             for k in _KERNEL_KINDS}
     if any(p is None for p in plans.values()):
         raise ValueError(
-            f"global Pallas kernels ineligible at C={C}, D={D}: working set "
-            f"exceeds the {_VMEM_BUDGET >> 20} MB scoped-VMEM budget at the "
-            "minimum tile (gate with kernel_eligible_global)")
-    if force_pregather is not None:
-        plans = {k: (tp, cb, force_pregather)
-                 for k, (tp, cb, _) in plans.items()}
+            f"global Pallas kernels ineligible at C={C}, D={D} "
+            f"(force_pregather={force_pregather}): working set exceeds the "
+            f"{_VMEM_BUDGET >> 20} MB scoped-VMEM budget at the minimum "
+            "tile (gate with kernel_eligible_global)")
     # every tile divides the max (all powers of two) so one padded P works
     TP_max = max(tp for tp, _, _ in plans.values())
     P_pad = -(-P // TP_max) * TP_max

@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--staged", action="store_true",
                     help="disable the fused frontend (for A/B comparison)")
+    ap.add_argument("--dedup-px", type=float, default=None,
+                    help="override ops.orb._DEDUP_CELL_PX for this run "
+                         "(the r05 multi-seed dedup/ATE study, BASELINE.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -65,6 +68,13 @@ def main(argv=None):
            "--consistent-convention", "--features", str(args.features)]
 
     from bundle_adjustment_tpu import run as run_mod
+
+    if args.dedup_px is not None:
+        # must land before the first ORB trace: the constant is read at
+        # trace time and baked into the jitted extractor
+        from bundle_adjustment_tpu.ops import orb as orb_mod
+
+        orb_mod._DEDUP_CELL_PX = float(args.dedup_px)
 
     if args.staged:
         # A/B hook: patch the preset to the staged per-op frontend
@@ -112,6 +122,8 @@ def main(argv=None):
 
     result = {
         "frames": args.frames,
+        "seed": args.seed,
+        "dedup_px": args.dedup_px,
         "motion": args.motion,
         "fused_frontend": not args.staged,
         "keyframes": summary["num_keyframes"],
