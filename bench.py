@@ -296,12 +296,39 @@ def global_iter_mxu_flops(grid, n_fixed=1, cg_iters=8):
     plans = {k: gp._plan(k, C, D) for k in gp._KERNEL_KINDS}
     if any(p is None for p in plans.values()):
         return None
-    TP_max = max(tp for tp, _, _ in plans.values())
+    TP_max = max(p.tp for p in plans.values())
     P_pad = -(-P // TP_max) * TP_max
 
+    # the skip-scatter kernels (pregather matvec, split setup) only issue
+    # matmuls for LIVE chunks; replicate the solver's camera-sort + live
+    # table to count them (data-dependent, hence computed per problem)
+    slot = np.asarray(grid.cam_slot)
+    mask = np.asarray(grid.mask) > 0
+    own = np.where(mask, slot, C + 1).min(axis=1)
+    own = np.where(np.asarray(grid.point_mask), own, C + 1)
+    order = np.argsort(own, kind="stable")
+    slot_s, mask_s = slot[order], mask[order]
+
+    def live_cb_cols(tp, cb):
+        """sum over tiles of (live chunks * CB) for a (tp, cb) plan."""
+        pp = -(-P // tp) * tp
+        sl = np.pad(slot_s, ((0, pp - P), (0, 0)))
+        mk = np.pad(mask_s, ((0, pp - P), (0, 0)))
+        adj = sl - n_fixed
+        ok = mk & (adj >= 0)
+        ci = np.where(ok, adj // cb, -1).reshape(pp // tp, tp * D)
+        live = sum(len(np.unique(row[row >= 0])) for row in ci)
+        return live * cb, pp // tp
+
     def kernel_flops(kind, gather_rows, scatter_rows):
-        _, _, pre = plans[kind]
-        g = 0 if pre else 2 * gather_rows * C * D * P_pad
+        p = plans[kind]
+        g = 0 if p.pregather else 2 * gather_rows * C * D * P_pad
+        if scatter_rows == 0:
+            return g
+        skip = (kind == "matvec" and p.pregather) or p.split
+        if skip:
+            cols, _ = live_cb_cols(p.tp, p.cb)
+            return g + 2 * scatter_rows * D * cols * p.tp
         return g + 2 * scatter_rows * C_adj * D * P_pad
 
     setup = kernel_flops("setup", 39, 54)

@@ -56,6 +56,7 @@ _solve_step_pcg and whole-solve cost parity, in both modes).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -180,7 +181,14 @@ def _setup_body(fetch, ptT, slotT, maskT, uvT, pmaskT, scal,
     """Per-tile setup math on plain jnp VALUES (shared by the Pallas kernel
     and the CPU oracle).  ``fetch(d) -> (Rg (9,TP), dRg (27,TP), tg (3,TP))``
     supplies slot d's camera rows (gather or pregather mode).  Returns
-    (YT rows (D*18, TP), VinvT (6, TP), zpT (3, TP), red (54, C_adj))."""
+    (YT rows (D*18, TP), VinvT (6, TP), zpT (3, TP), red (54, C_adj)).
+
+    ``CB=None`` selects SPLIT mode (the C>1024 path): no scatter runs here;
+    the per-slot 54 reduction rows are returned raw as a (D*54, TP) stack
+    for the separate `_scatter54_kernel` — the multi-chunk scatter that
+    aborts the Mosaic compiler inside this (already huge) body compiles
+    fine in that small kernel, which is what breaks the r04 C<=1024 setup
+    compile wall."""
     lam = scal[0:1, 4:5]
     delta = scal[0:1, 5:6]
     p0, p1, p2 = ptT[0:1, :], ptT[1:2, :], ptT[2:3, :]
@@ -267,6 +275,7 @@ def _setup_body(fetch, ptT, slotT, maskT, uvT, pmaskT, scal,
 
     # ---- per-slot Y, camera reductions ------------------------------------
     Y_rows_all = []
+    raw_rows = []           # split mode (CB=None): per-slot (54, TP) stacks
     red = 0.0
     for d in range(D):
         w, r, jc, jp = per_slot[d]
@@ -291,9 +300,14 @@ def _setup_body(fetch, ptT, slotT, maskT, uvT, pmaskT, scal,
             rows.append(YV[i][0] * Y[j][0] + YV[i][1] * Y[j][1]
                         + YV[i][2] * Y[j][2])
         rows = jnp.concatenate(rows, axis=0)                 # (54, TP)
-        red = _scatter_chunks(slotT, maskT, rows, red, d=d, C_adj=C_adj,
-                              n_fixed=n_fixed, CB=CB)
+        if CB is None:
+            raw_rows.append(rows)
+        else:
+            red = _scatter_chunks(slotT, maskT, rows, red, d=d, C_adj=C_adj,
+                                  n_fixed=n_fixed, CB=CB)
         Y_rows_all += [Y[i][l] for i in range(6) for l in range(3)]
+    if CB is None:
+        red = jnp.concatenate(raw_rows, axis=0)              # (D*54, TP)
 
     YT = jnp.concatenate(Y_rows_all, axis=0)                 # (D*18, TP)
     VinvT = jnp.concatenate(
@@ -331,15 +345,6 @@ def _setup_kernel_gather(R_ref, dR_ref, tv_ref, pt_ref, slot_ref, mask_ref,
                   C=C, D=D, n_fixed=n_fixed, CB=CB)
 
 
-def _setup_kernel_pre(cam_ref, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
-                      scal_ref, Y_out, Vinv_out, zp_out, red_out,
-                      *, C, D, n_fixed, CB):
-    fetch = _pre_fetch(cam_ref, rows=39)
-    _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
-                  scal_ref, Y_out, Vinv_out, zp_out, red_out,
-                  C=C, D=D, n_fixed=n_fixed, CB=CB)
-
-
 def _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
                   scal_ref, Y_out, Vinv_out, zp_out, red_out,
                   *, C, D, n_fixed, CB):
@@ -357,6 +362,97 @@ def _setup_common(fetch, pt_ref, slot_ref, mask_ref, uv_ref, pmask_ref,
         red_out[:] = jnp.zeros_like(red_out)
 
     red_out[:] = red_out[:] + red
+
+
+def _setup_math_kernel_skipg(live_ref, cam_ref, pt_ref, slot_ref, mask_ref,
+                             uv_ref, pmask_ref, scal_ref, Y_out, Vinv_out,
+                             zp_out, rows_out, cam_scr,
+                             *, C, D, n_fixed, CB, NCH):
+    """Split-setup math half (chunked-gather mode; the C>=513 path):
+    everything the fused setup computes EXCEPT the camera scatter — the raw
+    (D*54, TP) reduction rows stream to HBM for `_scatter54_kernel`.  With
+    the scatter gone the body has no C dependence beyond the resident
+    camera table, so it compiles at any camera count (the r04 wall was
+    multi-chunk scatter inside this body).  Camera rows (R, dR, t = 39)
+    come from the in-kernel chunk-skipped gather; note base0=0 — FIXED
+    cameras must still be gathered (only the scatter excludes them)."""
+    _skip_gather(live_ref, slot_ref[:], mask_ref[:], cam_ref, cam_scr,
+                 n_rows=39, D=D, CB=CB, NCH=NCH, base0=0)
+    fetch = _pre_fetch(cam_scr, rows=39)
+    YT, VinvT, zpT, rows = _setup_body(
+        fetch, pt_ref[:], slot_ref[:], mask_ref[:], uv_ref[:], pmask_ref[:],
+        scal_ref[:], C=C, D=D, n_fixed=n_fixed, CB=None)
+    Y_out[:] = YT
+    Vinv_out[:] = VinvT
+    zp_out[:] = zpT
+    rows_out[:] = rows
+
+
+def _skip_scatter(live_ref, slotT, maskT, rows_of, out_ref, *, n_rows, D,
+                  n_fixed, CB, NCH):
+    """Chunk-skipped camera scatter: for each of NCH static C-chunks, the
+    (CB, TP) one-hot + matmul run ONLY if this P-tile's prefetched live
+    table says some slot hits the chunk.  With points camera-sorted (see
+    ba_solve_global_pallas) a tile's slots span ~C*TP/P cameras, so ~1-2 of
+    NCH chunks are live — the O(C'*P*D) one-hot construction that dominated
+    the r04 matvec (3.3 ms vs 0.3 ms roofline, BASELINE.md) shrinks by
+    ~nch/live.  Loop-closure observations stay exact: they simply keep
+    extra chunks live via the same table.  ``rows_of(d) -> (n_rows, TP)``."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for ci in range(NCH):
+        @pl.when(live_ref[i * NCH + ci] > 0)
+        def _(ci=ci):
+            acc = None
+            for d in range(D):
+                oh = _slot_onehot(slotT[d:d + 1, :], maskT[d:d + 1, :], CB,
+                                  base=n_fixed + ci * CB)
+                c = _dotPP(rows_of(d), oh)
+                acc = c if acc is None else acc + c
+            sl = slice(ci * n_rows, (ci + 1) * n_rows)
+            out_ref[sl, :] = out_ref[sl, :] + acc
+
+
+def _scatter54_kernel(live_ref, rows_ref, slot_ref, mask_ref, out_ref,
+                      *, D, n_fixed, CB, NCH):
+    """Scatter half of the split setup: consumes the math kernel's (D*54,
+    TP) row stream, produces the same chunk-stacked (NCH*54, CB) reduction
+    `_setup_kernel_*` would have."""
+    _skip_scatter(live_ref, slot_ref[:], mask_ref[:],
+                  lambda d: rows_ref[d * 54:(d + 1) * 54, :], out_ref,
+                  n_rows=_RED_COLS, D=D, n_fixed=n_fixed, CB=CB, NCH=NCH)
+
+
+def _skip_gather(live_ref, slotT, maskT, tab_ref, scr_ref, *, n_rows, D,
+                 CB, NCH, base0):
+    """Chunk-skipped camera GATHER, the dual of `_skip_scatter`: fill the
+    (D*n_rows, TP) scratch with per-slot rows from the VMEM-resident
+    (n_rows, NCH*CB) table (column j = camera base0+j), building (CB, TP)
+    one-hots only for live chunks.  This replaces the per-pass XLA
+    `slot_major` takes of old pregather mode — (rows*D, P_pad) HBM
+    round-trips per kernel pass (75 MB/LM-iteration for setup's 39 rows at
+    C=1000) — with resident tables of a few hundred KB.  pl.when can't
+    yield values, so the gather accumulates into scratch (zeroed first;
+    masked one-hots make dead/out-of-window slots read exact zeros)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    scr_ref[:] = jnp.zeros_like(scr_ref)   # scratch persists across tiles
+    for ci in range(NCH):
+        @pl.when(live_ref[i * NCH + ci] > 0)
+        def _(ci=ci):
+            tc = tab_ref[:, ci * CB:(ci + 1) * CB]           # (n_rows, CB)
+            for d in range(D):
+                oh = _slot_onehot(slotT[d:d + 1, :], maskT[d:d + 1, :], CB,
+                                  base=base0 + ci * CB)
+                sl = slice(d * n_rows, (d + 1) * n_rows)
+                scr_ref[sl, :] = scr_ref[sl, :] + _dotCP(tc, oh)
 
 
 def _vinv_apply(VinvT, q):
@@ -430,13 +526,6 @@ def _matvec_kernel_gather(Y_ref, Vinv_ref, slot_ref, mask_ref, x_ref,
                    C=C, D=D, n_fixed=n_fixed, CB=CB)
 
 
-def _matvec_kernel_pre(Y_ref, Vinv_ref, slot_ref, mask_ref, xg_ref,
-                       out_ref, *, C, D, n_fixed, CB):
-    fetch_x = _x_pre_fetch(xg_ref)
-    _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
-                   C=C, D=D, n_fixed=n_fixed, CB=CB)
-
-
 def _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
                    *, C, D, n_fixed, CB):
     from jax.experimental import pallas as pl
@@ -451,6 +540,46 @@ def _matvec_common(Y_ref, Vinv_ref, slot_ref, mask_ref, fetch_x, out_ref,
     out_ref[:] = out_ref[:] + out
 
 
+def _matvec_kernel_pre_skip(live_ref, Y_ref, Vinv_ref, slot_ref, mask_ref,
+                            x_ref, out_ref, xs_scr, *, C, D, n_fixed, CB,
+                            NCH):
+    """Pregather matvec, both sides chunk-skipped.
+
+    The x GATHER reuses the scatter's chunk windows: x lives VMEM-resident
+    as a tiny (6, NCH*CB) table (columns = adjusted camera index) and each
+    live chunk's (CB, TP) one-hot doubles as the gather operand — this
+    deletes the per-matvec XLA `slot_major` pre-gather, whose (D*6, P_pad)
+    take was written to and re-read from HBM 8x per LM iteration (measured
+    r05: 1.69 ms/matvec with it, 0.62 ms without).  base0=n_fixed is safe
+    here (unlike setup/cost, which need base0=0): x rows for fixed cameras
+    are zero anyway.  The w2 scatter rebuilds the same one-hots (cheap:
+    ~2 VPU ops per (CB, TP) cell, live chunks only)."""
+    slotT = slot_ref[:]
+    maskT = mask_ref[:]
+    _skip_gather(live_ref, slotT, maskT, x_ref, xs_scr, n_rows=6, D=D,
+                 CB=CB, NCH=NCH, base0=n_fixed)
+
+    def slot_Y(d):
+        return [[Y_ref[d * 18 + i * 3 + l:d * 18 + i * 3 + l + 1, :]
+                 for l in range(3)] for i in range(6)]
+
+    q = [0.0, 0.0, 0.0]
+    stash = []
+    for d in range(D):
+        xs = xs_scr[d * 6:(d + 1) * 6, :]
+        Y = slot_Y(d)
+        for l in range(3):
+            q[l] = q[l] + sum(Y[i][l] * xs[i:i + 1, :] for i in range(6))
+        stash.append(Y)
+    z = _vinv_apply(Vinv_ref[:], q)
+    w2 = [jnp.concatenate(
+        [Y[i][0] * z[0] + Y[i][1] * z[1] + Y[i][2] * z[2]
+         for i in range(6)], axis=0) for Y in stash]         # D x (6, TP)
+
+    _skip_scatter(live_ref, slotT, maskT, lambda d: w2[d],
+                  out_ref, n_rows=6, D=D, n_fixed=n_fixed, CB=CB, NCH=NCH)
+
+
 def _backsub_kernel_gather(Y_ref, Vinv_ref, zp_ref, slot_ref, mask_ref,
                            x_ref, dp_out, *, C, D, n_fixed, CB):
     fetch_x = _x_gather_fetch(x_ref, slot_ref, mask_ref, C=C)
@@ -459,11 +588,15 @@ def _backsub_kernel_gather(Y_ref, Vinv_ref, zp_ref, slot_ref, mask_ref,
                                backsub=True, zp_ref=zp_ref)
 
 
-def _backsub_kernel_pre(Y_ref, Vinv_ref, zp_ref, xg_ref, dp_out,
-                        *, C, D, n_fixed, CB):
-    fetch_x = _x_pre_fetch(xg_ref)
-    # pregather backsub touches no camera index at all: x rows for fixed or
-    # dead slots are zero (pad_x) and Y rows are w-masked
+def _backsub_kernel_skipg(live_ref, Y_ref, Vinv_ref, zp_ref, slot_ref,
+                          mask_ref, x_ref, dp_out, x_scr,
+                          *, C, D, n_fixed, CB, NCH):
+    """Chunked-gather backsub: x fetched in-kernel from the resident
+    (6, NCH*CB) adjusted-column table (fixed/dead slots read zeros via the
+    masked one-hot + pad_x), then dp = -(z_p + V^-1 W^T x)."""
+    _skip_gather(live_ref, slot_ref[:], mask_ref[:], x_ref, x_scr,
+                 n_rows=6, D=D, CB=CB, NCH=NCH, base0=n_fixed)
+    fetch_x = _x_pre_fetch(x_scr)
     dp_out[:] = _coupling_body(Y_ref, Vinv_ref, None, None, fetch_x,
                                C=C, D=D, n_fixed=n_fixed, CB=CB,
                                backsub=True, zp_ref=zp_ref)
@@ -494,10 +627,15 @@ def _cost_kernel_gather(R_ref, tv_ref, pt_ref, slot_ref, mask_ref, uv_ref,
     _cost_common(fetch, pt_ref, mask_ref, uv_ref, scal_ref, out_ref, D=D)
 
 
-def _cost_kernel_pre(camc_ref, pt_ref, mask_ref, uv_ref, scal_ref, out_ref,
-                     *, C, D):
+def _cost_kernel_skipg(live_ref, camc_ref, pt_ref, slot_ref, mask_ref,
+                       uv_ref, scal_ref, out_ref, cam_scr, *, C, D, CB, NCH):
+    """Chunked-gather cost: camera rows (R, t = 12) from the resident
+    (12, NCH*CB) raw-column table (base0=0 — fixed cameras project too)."""
+    _skip_gather(live_ref, slot_ref[:], mask_ref[:], camc_ref, cam_scr,
+                 n_rows=12, D=D, CB=CB, NCH=NCH, base0=0)
+
     def fetch(d):
-        sl = camc_ref[d * 12:(d + 1) * 12, :]
+        sl = cam_scr[d * 12:(d + 1) * 12, :]
         return sl[0:9, :], sl[9:12, :]
 
     _cost_common(fetch, pt_ref, mask_ref, uv_ref, scal_ref, out_ref, D=D)
@@ -533,6 +671,24 @@ _KERNEL_KINDS = ("setup", "matvec", "backsub", "cost")
 # one-hots' C·TP transients and O(C·D·P) matmul FLOPs both argue for the
 # XLA pre-gather (measured crossover discussion in BASELINE.md)
 _PREGATHER_MIN_C = 513
+class Plan(NamedTuple):
+    """One kernel's tile plan.  ``split`` only ever True for kind='setup'
+    (the math+scatter kernel pair); pregather matvec always runs the
+    chunk-skipped scatter."""
+    tp: int
+    cb: int
+    pregather: bool
+    split: bool = False
+
+
+def _skip_cb(C_adj: int) -> int:
+    """Chunk width for the skip-scatter kernels: 128 (exactly one MXU lane
+    tile — smaller chunks pad to 128 lanes anyway) widened only to cap the
+    static chunk loop at 16 (compile-time body size)."""
+    cb = 128
+    while -(-max(C_adj, 1) // cb) > 16:
+        cb *= 2
+    return cb
 
 
 def _vmem_bytes(kind: str, C: int, D: int, TP: int,
@@ -562,19 +718,50 @@ def _vmem_bytes(kind: str, C: int, D: int, TP: int,
                     + (4 * D + 8) * row + red_io)
         return (D + 3) * lane + D * chunk + stash + outs \
             + 39 * C * 4 + red_io
+    # resident camera-row tables of the chunked-gather kernels: padded to
+    # whole chunks, and nch <= 17 raw chunks by _skip_cb
+    tab = lambda rows: rows * (min(17, -(-max(C, 1) // CB)) * CB) * 4
+    # EMPIRICAL (r05, isolated matvec sweeps on v5e): chunked-gather
+    # kernels fall off a ~5x performance cliff when C*TP crosses ~1.8M,
+    # independent of CB and chunk count — e.g. (C=1792, TP=1024) runs
+    # 0.67 ms/matvec while (C=1856, TP=1024) runs 3.2 ms, and C=2048 is
+    # fast again at TP=512; staging the one-hots through an explicit
+    # scratch does NOT remove it.  The boundary is exactly two (C, TP) f32
+    # buffers hitting the 16 MB VMEM, so charge 2*C*TP*4 as the loops'
+    # high-water; the planner then shrinks TP as C grows (TP=512 at
+    # C=2048, 256 at 4096, 128 at 8192 — all measured fast)
+    cliff = 2 * C * TP * 4
+    if kind == "setup_math":
+        # split-setup math half (chunked-gather only): no scatter chunks or
+        # reduction accumulators; the raw (D*54, TP) row stream is an extra
+        # double-buffered output; camera rows come from the resident
+        # 39-row table via a few live one-hots into the (39*D, TP) scratch
+        stash = (22 * D + 54) * row
+        outs = (18 * D + 9 + 54 * D) * row * 2
+        return tab(39) + 39 * D * row + cliff + stash + outs \
+            + (4 * D + 8) * row
+    if kind == "setup_scatter":
+        # split-setup scatter half: rows input (dbl-buffered) + slot/mask +
+        # the chunk-loop high-water + the resident chunk-stacked output
+        # (nch <= 16 by _skip_cb)
+        return (2 * 54 * D + 4 * D) * row + cliff + 16 * 54 * CB * 4
     if kind == "matvec":
         ys = (2 * 18 * D + 24) * row
         if pregather:
-            return D * chunk + ys + 2 * 6 * D * row + red_io
+            # chunk-skipped gather+scatter: the chunk-loop high-water, the
+            # xs scratch, and the resident x table + chunk-stacked output
+            # (nch <= 16 by _skip_cb)
+            return cliff + ys + 6 * D * row + 4 * D * row \
+                + tab(6) + 16 * 6 * CB * 4
         return (D + 1) * lane + D * chunk + ys + 6 * C * 4 + red_io
     if kind == "backsub":
         ys = (2 * 18 * D + 30) * row
         if pregather:
-            return ys + 2 * 6 * D * row
+            return cliff + ys + 6 * D * row + 4 * D * row + tab(6)
         return (D + 1) * lane + ys + 6 * C * 4
     assert kind == "cost"
     if pregather:
-        return (2 * 12 * D + 4 * D + 16) * row
+        return cliff + (12 * D + 4 * D + 16) * row + tab(12)
     return (D + 1) * lane + (4 * D + 16) * row + 12 * C * 4
 
 
@@ -583,25 +770,41 @@ def _ceil8(n):
 
 
 def _plan(kind: str, C: int, D: int, pregather: bool | None = None):
-    """(TP, CB, pregather) maximizing the P-tile (then the scatter chunk)
-    under the VMEM budget, or None if nothing fits.  ``pregather=None``
-    picks the mode by size; passing a bool plans FOR that mode (so a forced
-    mode gets tiles fitted to its own working set — ADVICE r04).  Pregather
-    mode only pays off once the gather one-hots dominate; below
-    _PREGATHER_MIN_C the proven gather kernels run with a single scatter
-    chunk (identical to the r03-measured configs).
+    """Plan(TP, CB, pregather, split) maximizing the P-tile (then the
+    scatter chunk) under the VMEM budget, or None if nothing fits.
+    ``pregather=None`` picks the mode by size; passing a bool plans FOR
+    that mode (so a forced mode gets tiles fitted to its own working set —
+    ADVICE r04).  Pregather mode only pays off once the gather one-hots
+    dominate; below _PREGATHER_MIN_C the proven gather kernels run with a
+    single scatter chunk (identical to the r03-measured configs).
 
-    The SETUP kernel is pinned to a single scatter chunk (CB = C): its body
-    is already near the Mosaic compiler's complexity limit, and adding a
-    second scatter chunk crashes the compiler (measured at C=1000, r04 —
-    every multi-chunk setup variant dies with a compile-helper abort while
-    the same scatter pattern in the small matvec body compiles fine).  The
-    transposed scatter keeps the single big chunk's VMEM at CB*TP*4; the
-    compile-PROVEN boundary on v5e is CB = 1024 (C=1000 compiles and runs,
-    C=2048 aborts the compiler even single-chunk), so setup is feasible only
-    up to C <= 1024 + n_fixed and larger maps route to the XLA grid path."""
+    GATHER mode (C < 513): the r03/r04-proven fused kernels — setup as one
+    kernel pinned to a single full-width scatter chunk (its body is near
+    the Mosaic compiler's complexity limit; a second scatter chunk inside
+    it crashes the compiler, measured at C=1000 r04, compile-proven
+    single-chunk boundary CB = 1024).
+
+    CHUNKED-GATHER mode (pregather=True; auto at C >= 513): every kernel
+    fetches camera rows in-kernel from small VMEM-resident tables and
+    scatters via the chunk-SKIPPED one-hots (CB from `_skip_cb`: 128
+    unless the 16-chunk cap widens it; per-tile live-chunk tables built at
+    solve start).  Setup SPLITS into the math kernel (no C dependence in
+    its body, compiles at any size) + the small `_scatter54_kernel`
+    (multi-chunk scatter compiles there, like the matvec body) — which is
+    what retires the r04 C<=1024 eligibility wall AND measured faster at
+    C=1000 than the fused single-chunk setup (54 vs 50 it/s even before
+    the in-kernel gathers)."""
     if pregather is None:
         pregather = C >= _PREGATHER_MIN_C
+    if pregather:
+        cb = _skip_cb(C)
+        kinds = (("setup_math", "setup_scatter") if kind == "setup"
+                 else (kind,))
+        for tp in (1024, 512, 256, 128):
+            if all(_vmem_bytes(k, C, D, tp, True, cb) <= _VMEM_BUDGET
+                   for k in kinds):
+                return Plan(tp, cb, True, kind == "setup")
+        return None
     if kind == "setup":
         if _ceil8(C) > 1024:
             return None
@@ -611,9 +814,26 @@ def _plan(kind: str, C: int, D: int, pregather: bool | None = None):
         cbs = sorted({cap, min(cap, 256), min(cap, 128)}, reverse=True)
     for tp in (1024, 512, 256, 128):
         for cb in cbs:
-            if _vmem_bytes(kind, C, D, tp, pregather, cb) <= _VMEM_BUDGET:
-                return tp, cb, pregather
+            if _vmem_bytes(kind, C, D, tp, False, cb) <= _VMEM_BUDGET:
+                return Plan(tp, cb, False, False)
     return None
+
+
+def _live_table(slotT, maskT, n_fixed, C_adj, TP, CB, P_pad):
+    """(n_tiles * nch,) int32 live-chunk table for the skip-scatter kernels:
+    entry t*nch + ci is 1 iff some masked slot in P-tile t scatters into
+    camera chunk ci.  With camera-sorted points most tiles have 1-2 live
+    chunks; loop-closure observations mark extra chunks live (exactness is
+    theirs by construction — the kernel still scatters every live chunk)."""
+    nch = _c_pad(C_adj, CB) // CB
+    n_tiles = P_pad // TP
+    adj = slotT - n_fixed                                    # (D, P_pad)
+    valid = (maskT > 0) & (adj >= 0)
+    ci = jnp.where(valid, adj // CB, 0)
+    ti = jax.lax.broadcasted_iota(jnp.int32, slotT.shape, 1) // TP
+    idx = jnp.where(valid, ti * nch + ci, n_tiles * nch)     # OOB => dropped
+    return jnp.zeros((n_tiles * nch,), jnp.int32).at[
+        idx.reshape(-1)].max(1, mode="drop")
 
 
 def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
@@ -658,6 +878,7 @@ def ba_solve_global_pallas(
     (rvecs, tvecs, points, BAStats) exactly like ba_solve_grid.
     ``force_pregather`` overrides the size-based mode pick (testing)."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     C = grid.rvecs.shape[0]
     C_adj = max(C - n_fixed, 1)
@@ -673,17 +894,56 @@ def ba_solve_global_pallas(
             f"{_VMEM_BUDGET >> 20} MB scoped-VMEM budget at the minimum "
             "tile (gate with kernel_eligible_global)")
     # every tile divides the max (all powers of two) so one padded P works
-    TP_max = max(tp for tp, _, _ in plans.values())
+    TP_max = max(p.tp for p in plans.values())
     P_pad = -(-P // TP_max) * TP_max
     pad = P_pad - P
 
-    ptT0 = jnp.pad(grid.points.astype(jnp.float32), ((0, pad), (0, 0))).T
-    slotT = jnp.pad(grid.cam_slot, ((0, pad), (0, 0))).T
-    maskT = jnp.pad(grid.mask.astype(jnp.float32), ((0, pad), (0, 0))).T
-    uvT = jnp.pad(grid.uv.astype(jnp.float32),
+    # sort points by owning camera (min live slot; dead points last) so each
+    # P-tile's slots span a narrow camera range — the skip-scatter kernels'
+    # live-chunk tables then mark ~1-2 of nch chunks per tile, deleting the
+    # dead one-hot constructions that dominated the r04 matvec.  The
+    # permutation is INTERNAL: points return in input order below.
+    own = jnp.min(jnp.where(grid.mask > 0, grid.cam_slot, C + 1), axis=1)
+    own = jnp.where(grid.point_mask, own, C + 1)
+    perm = jnp.argsort(own)
+
+    ptT0 = jnp.pad(grid.points.astype(jnp.float32)[perm],
+                   ((0, pad), (0, 0))).T
+    slotT = jnp.pad(grid.cam_slot[perm], ((0, pad), (0, 0))).T
+    maskT = jnp.pad(grid.mask.astype(jnp.float32)[perm],
+                    ((0, pad), (0, 0))).T
+    uvT = jnp.pad(grid.uv.astype(jnp.float32)[perm],
                   ((0, pad), (0, 0), (0, 0))).transpose(1, 2, 0).reshape(
                       2 * D, P_pad)
-    pmaskT = jnp.pad(grid.point_mask.astype(jnp.float32), (0, pad))[None, :]
+    pmaskT = jnp.pad(grid.point_mask.astype(jnp.float32)[perm],
+                     (0, pad))[None, :]
+
+    # per-tile live-chunk tables for the skip gather/scatter kernels (slot/
+    # mask never change during the solve, so these are loop invariants).
+    # GATHER tables cover raw camera columns [0, C) (fixed cameras must be
+    # fetched); SCATTER (and x-fetch) tables cover adjusted columns
+    # [n_fixed, C).
+    def live_raw(kind):
+        p = plans[kind]
+        return _live_table(slotT, maskT, 0, C, p.tp, p.cb, P_pad)
+
+    def live_adj(kind):
+        p = plans[kind]
+        return _live_table(slotT, maskT, n_fixed, C_adj, p.tp, p.cb, P_pad)
+
+    live_mv = live_bs = live_cost = live_sg = live_ss = None
+    if plans["matvec"].pregather:
+        live_mv = live_adj("matvec")
+        live_bs = live_adj("backsub")
+        live_cost = live_raw("cost")
+    if plans["setup"].split:
+        live_sg = live_raw("setup")
+        live_ss = live_adj("setup")
+
+    def cam_table(rowsC, cb):
+        """(rows, C) camera-row table -> VMEM-resident (rows, nchg*cb)."""
+        nchg = _c_pad(C, cb) // cb
+        return jnp.pad(rowsC, ((0, 0), (0, nchg * cb - C)))
 
     def scal_row(lam):
         # built in XLA (outside the kernels), so a plain stack is fine
@@ -695,20 +955,61 @@ def ba_solve_global_pallas(
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
 
     def tile_for(kind):
-        tp, cb, pre = plans[kind]
-        tiled = lambda rows, tp=tp: pl.BlockSpec((rows, tp),
-                                                 lambda i: (0, i))
-        return tiled, P_pad // tp, cb, pre
-
-    def slot_major(rowsC, n_rows):
-        """XLA pre-gather: (n_rows, C) table -> (D*n_rows, P_pad), slot-major
-        contiguous rows per slot."""
-        g = jnp.take(rowsC, slotT, axis=1)           # (n_rows, D, P_pad)
-        return g.transpose(1, 0, 2).reshape(D * n_rows, P_pad)
+        p = plans[kind]
+        tiled = lambda rows, tp=p.tp: pl.BlockSpec((rows, tp),
+                                                   lambda i: (0, i))
+        return tiled, P_pad // p.tp, p.cb, p.pregather
 
     def run_setup(R_rows, dR_rows, tvT, ptT, lam):
         tiled, n_tiles, cb, pre = tile_for("setup")
         nch = _c_pad(C_adj, cb) // cb
+        if plans["setup"].split:
+            tp = plans["setup"].tp
+            nchg = _c_pad(C, cb) // cb
+            camT = cam_table(
+                jnp.concatenate([R_rows, dR_rows, tvT], axis=0), cb)
+            gtiled = lambda rows: pl.BlockSpec(
+                (rows, tp), lambda i, live: (0, i))
+            gfull = lambda a, b: pl.BlockSpec((a, b),
+                                              lambda i, live: (0, 0))
+            math_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[gfull(39, nchg * cb), gtiled(3), gtiled(D),
+                          gtiled(D), gtiled(2 * D), gtiled(1), gfull(1, 8)],
+                out_specs=(gtiled(D * 18), gtiled(6), gtiled(3),
+                           gtiled(D * _RED_COLS)),
+                scratch_shapes=[pltpu.VMEM((39 * D, tp), jnp.float32)],
+            )
+            YT, VinvT, zpT, rowsT = pl.pallas_call(
+                functools.partial(_setup_math_kernel_skipg, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb, NCH=nchg),
+                grid_spec=math_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((D * _RED_COLS, P_pad),
+                                         jnp.float32),
+                ),
+                interpret=interpret,
+            )(live_sg, camT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[gtiled(D * _RED_COLS), gtiled(D), gtiled(D)],
+                out_specs=pl.BlockSpec((nch * _RED_COLS, cb),
+                                       lambda i, live: (0, 0)),
+            )
+            redT = pl.pallas_call(
+                functools.partial(_scatter54_kernel, D=D, n_fixed=n_fixed,
+                                  CB=cb, NCH=nch),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nch * _RED_COLS, cb),
+                                               jnp.float32),
+                interpret=interpret,
+            )(live_ss, rowsT, slotT, maskT)
+            return YT, VinvT, zpT, redT
         out_specs = (tiled(D * 18), tiled(6), tiled(3),
                      full(nch * _RED_COLS, cb))
         out_shape = (
@@ -717,18 +1018,6 @@ def ba_solve_global_pallas(
             jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
             jax.ShapeDtypeStruct((nch * _RED_COLS, cb), jnp.float32),
         )
-        if pre:
-            camT = slot_major(
-                jnp.concatenate([R_rows, dR_rows, tvT], axis=0), 39)
-            return pl.pallas_call(
-                functools.partial(_setup_kernel_pre, C=C, D=D,
-                                  n_fixed=n_fixed, CB=cb),
-                grid=(n_tiles,),
-                in_specs=[tiled(39 * D), tiled(3), tiled(D), tiled(D),
-                          tiled(2 * D), tiled(1), full(1, 8)],
-                out_specs=out_specs, out_shape=out_shape,
-                interpret=interpret,
-            )(camT, ptT, slotT, maskT, uvT, pmaskT, scal_row(lam))
         return pl.pallas_call(
             functools.partial(_setup_kernel_gather, C=C, D=D,
                               n_fixed=n_fixed, CB=cb),
@@ -743,74 +1032,112 @@ def ba_solve_global_pallas(
     def run_matvec(YT, VinvT, xT):
         tiled, n_tiles, cb, pre = tile_for("matvec")
         nch = _c_pad(C_adj, cb) // cb
-        common = dict(
-            grid=(n_tiles,),
-            out_specs=full(nch * 6, cb),
-            out_shape=jax.ShapeDtypeStruct((nch * 6, cb), jnp.float32),
-            interpret=interpret)
         if pre:
-            xg = slot_major(xT, 6)
+            # x as a VMEM-resident (6, nch*CB) table in ADJUSTED camera
+            # columns (xT already has zero rows for fixed cameras)
+            xp = pad_x_adj(xT, nch * cb)
+            tp = plans["matvec"].tp
+            stiled = lambda rows: pl.BlockSpec(
+                (rows, tp), lambda i, live: (0, i))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[stiled(D * 18), stiled(6), stiled(D), stiled(D),
+                          pl.BlockSpec((6, nch * cb), lambda i, live: (0, 0))],
+                out_specs=pl.BlockSpec((nch * 6, cb),
+                                       lambda i, live: (0, 0)),
+                scratch_shapes=[pltpu.VMEM((6 * D, tp), jnp.float32)],
+            )
             return pl.pallas_call(
-                functools.partial(_matvec_kernel_pre, C=C, D=D,
-                                  n_fixed=n_fixed, CB=cb),
-                in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
-                          tiled(6 * D)],
-                **common,
-            )(YT, VinvT, slotT, maskT, xg)
+                functools.partial(_matvec_kernel_pre_skip, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb, NCH=nch),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nch * 6, cb), jnp.float32),
+                interpret=interpret,
+            )(live_mv, YT, VinvT, slotT, maskT, xp)
         return pl.pallas_call(
             functools.partial(_matvec_kernel_gather, C=C, D=D,
                               n_fixed=n_fixed, CB=cb),
+            grid=(n_tiles,),
             in_specs=[tiled(D * 18), tiled(6), tiled(D), tiled(D),
                       full(6, C)],
-            **common,
+            out_specs=full(nch * 6, cb),
+            out_shape=jax.ShapeDtypeStruct((nch * 6, cb), jnp.float32),
+            interpret=interpret,
         )(YT, VinvT, slotT, maskT, xT)
 
     def run_backsub(YT, VinvT, zpT, xT):
         tiled, n_tiles, cb, pre = tile_for("backsub")
-        common = dict(
-            grid=(n_tiles,),
-            out_specs=tiled(3),
-            out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
-            interpret=interpret)
         if pre:
-            xg = slot_major(xT, 6)
+            tp = plans["backsub"].tp
+            nch = _c_pad(C_adj, cb) // cb
+            xp = pad_x_adj(xT, nch * cb)
+            gtiled = lambda rows: pl.BlockSpec(
+                (rows, tp), lambda i, live: (0, i))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[gtiled(D * 18), gtiled(6), gtiled(3), gtiled(D),
+                          gtiled(D),
+                          pl.BlockSpec((6, nch * cb),
+                                       lambda i, live: (0, 0))],
+                out_specs=gtiled(3),
+                scratch_shapes=[pltpu.VMEM((6 * D, tp), jnp.float32)],
+            )
             return pl.pallas_call(
-                functools.partial(_backsub_kernel_pre, C=C, D=D,
-                                  n_fixed=n_fixed, CB=cb),
-                in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(6 * D)],
-                **common,
-            )(YT, VinvT, zpT, xg)
+                functools.partial(_backsub_kernel_skipg, C=C, D=D,
+                                  n_fixed=n_fixed, CB=cb, NCH=nch),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+                interpret=interpret,
+            )(live_bs, YT, VinvT, zpT, slotT, maskT, xp)
         return pl.pallas_call(
             functools.partial(_backsub_kernel_gather, C=C, D=D,
                               n_fixed=n_fixed, CB=cb),
+            grid=(n_tiles,),
             in_specs=[tiled(D * 18), tiled(6), tiled(3), tiled(D),
                       tiled(D), full(6, C)],
-            **common,
+            out_specs=tiled(3),
+            out_shape=jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+            interpret=interpret,
         )(YT, VinvT, zpT, slotT, maskT, xT)
 
     def run_cost(rv, tv, ptT):
-        tiled, n_tiles, _, pre = tile_for("cost")
+        tiled, n_tiles, cb, pre = tile_for("cost")
         R_rows, _ = _rodrigues_rows(rv.T, want_jac=False)
-        common = dict(
-            grid=(n_tiles,),
-            out_specs=full(1, 2),
-            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
-            interpret=interpret)
         if pre:
-            camcT = slot_major(
-                jnp.concatenate([R_rows, tv.T], axis=0), 12)
+            tp = plans["cost"].tp
+            nchg = _c_pad(C, cb) // cb
+            camcT = cam_table(jnp.concatenate([R_rows, tv.T], axis=0), cb)
+            gtiled = lambda rows: pl.BlockSpec(
+                (rows, tp), lambda i, live: (0, i))
+            gfull = lambda a, b: pl.BlockSpec((a, b),
+                                              lambda i, live: (0, 0))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[gfull(12, nchg * cb), gtiled(3), gtiled(D),
+                          gtiled(D), gtiled(2 * D), gfull(1, 8)],
+                out_specs=gfull(1, 2),
+                scratch_shapes=[pltpu.VMEM((12 * D, tp), jnp.float32)],
+            )
             out = pl.pallas_call(
-                functools.partial(_cost_kernel_pre, C=C, D=D),
-                in_specs=[tiled(12 * D), tiled(3), tiled(D), tiled(2 * D),
-                          full(1, 8)],
-                **common,
-            )(camcT, ptT, maskT, uvT, scal_row(jnp.float32(0)))
+                functools.partial(_cost_kernel_skipg, C=C, D=D, CB=cb,
+                                  NCH=nchg),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+                interpret=interpret,
+            )(live_cost, camcT, ptT, slotT, maskT, uvT,
+              scal_row(jnp.float32(0)))
         else:
             out = pl.pallas_call(
                 functools.partial(_cost_kernel_gather, C=C, D=D),
+                grid=(n_tiles,),
                 in_specs=[full(9, C), full(3, C), tiled(3), tiled(D),
                           tiled(D), tiled(2 * D), full(1, 8)],
-                **common,
+                out_specs=full(1, 2),
+                out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+                interpret=interpret,
             )(R_rows, tv.T, ptT, slotT, maskT, uvT, scal_row(jnp.float32(0)))
         return out[0, 0], out[0, 1]
 
@@ -818,6 +1145,12 @@ def ba_solve_global_pallas(
         """(C_adj, 6) camera blocks -> (6, C) with zero rows for fixed."""
         xT = jnp.zeros((6, C), jnp.float32)
         return jax.lax.dynamic_update_slice(xT, x.T, (0, n_fixed))
+
+    def pad_x_adj(xT, cols):
+        """(6, C) x with zeroed fixed rows -> (6, cols) ADJUSTED-column
+        table for the chunked x gathers (column j = camera n_fixed+j)."""
+        xa = jax.lax.dynamic_slice(xT, (0, n_fixed), (6, C - n_fixed))
+        return jnp.pad(xa, ((0, 0), (0, cols - (C - n_fixed))))
 
     eye6 = jnp.eye(6, dtype=jnp.float32)
 
@@ -902,4 +1235,7 @@ def ba_solve_global_pallas(
         initial_sq=init_sq, final_sq=final_sq,
         iterations=it, accepted=cost < init_cost,
     )
-    return rv, tv, ptT.T[:P], stats
+    # undo the internal camera-sort: row i of the output = input point i
+    pts_sorted = ptT.T[:P]
+    pts = jnp.zeros_like(pts_sorted).at[perm].set(pts_sorted)
+    return rv, tv, pts, stats

@@ -101,16 +101,52 @@ def _setup_outputs_interp(grid, lam, n_fixed=1, pregather=False, CB=None):
         jax.ShapeDtypeStruct((nch * gp._RED_COLS, CB), jnp.float32),
     )
     if pregather:
-        camT = jnp.take(jnp.concatenate([R_rows, dR_rows, tvT], axis=0),
-                        slotT, axis=1).transpose(1, 0, 2).reshape(
-                            39 * D, P_pad)
-        out = pl.pallas_call(
-            partial(gp._setup_kernel_pre, C=C, D=D, n_fixed=n_fixed, CB=CB),
-            grid=(P_pad // TP,),
-            in_specs=[tiled(39 * D), tiled(3), tiled(D), tiled(D),
-                      tiled(2 * D), tiled(1), full(1, 8)],
-            out_specs=out_specs, out_shape=out_shape, interpret=True,
-        )(camT, ptT, slotT, maskT, uvT, pmaskT, scal)
+        # chunked-gather mode: the split math + scatter54 kernel pair (the
+        # production C>=513 path, including the live-chunk tables)
+        from jax.experimental.pallas import tpu as pltpu
+
+        nchg = gp._c_pad(C, CB) // CB
+        nch_s = gp._c_pad(C_adj, CB) // CB
+        camT = jnp.pad(jnp.concatenate([R_rows, dR_rows, tvT], axis=0),
+                       ((0, 0), (0, nchg * CB - C)))
+        live_g = gp._live_table(slotT, maskT, 0, C, TP, CB, P_pad)
+        live_s = gp._live_table(slotT, maskT, n_fixed, C_adj, TP, CB, P_pad)
+        gtiled = lambda rows: pl.BlockSpec((rows, TP),
+                                           lambda i, live: (0, i))
+        gfull = lambda a, b: pl.BlockSpec((a, b), lambda i, live: (0, 0))
+        math_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(P_pad // TP,),
+            in_specs=[gfull(39, nchg * CB), gtiled(3), gtiled(D), gtiled(D),
+                      gtiled(2 * D), gtiled(1), gfull(1, 8)],
+            out_specs=(gtiled(D * 18), gtiled(6), gtiled(3),
+                       gtiled(D * gp._RED_COLS)),
+            scratch_shapes=[pltpu.VMEM((39 * D, TP), jnp.float32)])
+        YT, VinvT, zpT, rowsT = pl.pallas_call(
+            partial(gp._setup_math_kernel_skipg, C=C, D=D, n_fixed=n_fixed,
+                    CB=CB, NCH=nchg),
+            grid_spec=math_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((D * 18, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((6, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((3, P_pad), jnp.float32),
+                jax.ShapeDtypeStruct((D * gp._RED_COLS, P_pad), jnp.float32),
+            ),
+            interpret=True,
+        )(live_g, camT, ptT, slotT, maskT, uvT, pmaskT, scal)
+        sc_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(P_pad // TP,),
+            in_specs=[gtiled(D * gp._RED_COLS), gtiled(D), gtiled(D)],
+            out_specs=pl.BlockSpec((nch_s * gp._RED_COLS, CB),
+                                   lambda i, live: (0, 0)))
+        redT = pl.pallas_call(
+            partial(gp._scatter54_kernel, D=D, n_fixed=n_fixed, CB=CB,
+                    NCH=nch_s),
+            grid_spec=sc_spec,
+            out_shape=jax.ShapeDtypeStruct((nch_s * gp._RED_COLS, CB),
+                                           jnp.float32),
+            interpret=True,
+        )(live_s, rowsT, slotT, maskT)
+        out = (YT, VinvT, zpT, redT)
     else:
         out = pl.pallas_call(
             partial(gp._setup_kernel_gather, C=C, D=D, n_fixed=n_fixed,
@@ -224,6 +260,38 @@ def test_full_solve_matches_grid_pcg(pregather):
                                rtol=0, atol=5e-2)
 
 
+def test_full_solve_matches_grid_pcg_multichunk_skip(monkeypatch):
+    """MULTI-chunk chunked-gather mode: with the skip chunk forced down to
+    8 cameras the C=12 problem spans 2 chunks, so the live-table skip logic
+    (gather AND scatter sides, all four kernels) must route every
+    observation through the right chunk — asserted by whole-solve parity
+    against the XLA grid path.  (At default _skip_cb the test problem fits
+    one chunk and the skip machinery is exercised only trivially.)"""
+    rng = np.random.default_rng(5)
+    grid = _make_problem(rng)
+    kwargs = dict(n_fixed=1, max_iterations=15, ftol=0.0, xtol=0.0,
+                  lambda_max=1e30, cg_iters=8, cg_tol=1e-6, cg_forcing=True)
+    rv_x, tv_x, pt_x, st_x = ba_grid.ba_solve_grid(grid, **kwargs)
+    monkeypatch.setattr(ba_global_pallas, "_skip_cb", lambda C_adj: 8)
+    assert ba_global_pallas._plan("setup", grid.rvecs.shape[0],
+                                  grid.cam_slot.shape[1],
+                                  pregather=True).split
+    # the chunk width is read at trace time: drop any cached trace from the
+    # un-patched parity test above (same shapes + statics)
+    ba_global_pallas.ba_solve_global_pallas.clear_cache()
+    rv_k, tv_k, pt_k, st_k = ba_global_pallas.ba_solve_global_pallas(
+        grid, interpret=True, force_pregather=True, **kwargs)
+    ba_global_pallas.ba_solve_global_pallas.clear_cache()
+    np.testing.assert_allclose(float(st_k.initial_cost),
+                               float(st_x.initial_cost), rtol=1e-5)
+    np.testing.assert_allclose(float(st_k.final_cost), float(st_x.final_cost),
+                               rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(rv_k), np.asarray(rv_x),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(pt_k), np.asarray(pt_x),
+                               rtol=0, atol=5e-2)
+
+
 def test_eligibility_gate():
     rng = np.random.default_rng(7)
     grid = _make_problem(rng)
@@ -267,21 +335,34 @@ def test_vmem_tile_picker_budget():
             for kind in gp._KERNEL_KINDS:
                 plan = gp._plan(kind, C, D)
                 if plan is not None:
-                    tp, cb, pre = plan
-                    assert gp._vmem_bytes(kind, C, D, tp, pre, cb) \
-                        <= gp._VMEM_BUDGET
-                    assert tp >= 128 and (tp & (tp - 1)) == 0
-                    # setup runs one full-width chunk (<=1024, see _plan);
-                    # the light kernels chunk at <=512
-                    assert 0 < cb <= (1024 if kind == "setup" else 512)
-    # pregather + the transposed single-chunk setup scatter keep the
-    # lehman-scale C=1000 map eligible with TP=1024 light kernels; beyond
-    # the compile-proven setup boundary (CB=1024, see _plan) the gate must
-    # say no — route to XLA — not crash
+                    kinds = (["setup_math", "setup_scatter"] if plan.split
+                             else [kind])
+                    for k in kinds:
+                        assert gp._vmem_bytes(
+                            k, C, D, plan.tp, plan.pregather, plan.cb) \
+                            <= gp._VMEM_BUDGET
+                    assert plan.tp >= 128 and (plan.tp & (plan.tp - 1)) == 0
+                    # fused setup runs one full-width chunk (<=1024); the
+                    # skip/light kernels chunk at <=512 (16-chunk cap)
+                    assert 0 < plan.cb <= (
+                        1024 if kind == "setup" and not plan.split else 512)
+                    assert plan.split == (
+                        kind == "setup" and C >= gp._PREGATHER_MIN_C)
+    # pregather shapes (C >= 513) now plan SPLIT setup + chunk-skip
+    # scatter (math + scatter54 kernel pair) — measured faster than the
+    # fused single-chunk setup at C=1000 AND eligible at any C (r05);
+    # gather-mode shapes keep the r03/r04-proven fused kernel
     for C in (513, 1000, 1024):
         assert all(gp._plan(k, C, 4) is not None for k in gp._KERNEL_KINDS)
+        assert gp._plan("setup", C, 4).split
+        assert not gp._plan("setup", 512, 4).split
     for C in (2048, 4096, 8192):
-        assert gp._plan("setup", C, 4) is None
+        plan = gp._plan("setup", C, 4)
+        assert plan is not None and plan.split and plan.pregather
+        # the skip chunk keeps the static chunk loop bounded
+        assert -(-(C - 1) // plan.cb) <= 16
+        # gather mode cannot split (the math body takes streamed rows)
+        assert gp._plan("setup", C, 4, pregather=False) is None
     # eligibility consults the same planner
     rng = np.random.default_rng(7)
     grid = _make_problem(rng)
