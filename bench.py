@@ -476,8 +476,7 @@ def bench_global_c1000(repeats=3):
     return measure(run_xla) + (path, mfu)
 
 
-def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096),
-                        window_shapes=(1024, 2048, 4096, 8192)):
+def bench_compile_smoke(shapes=None, window_shapes=None):
     """Hardware-shape compile gate (VERDICT r03 #2): COMPILE the fused
     kernels at every shape the pipeline may route to them, so a scoped-VMEM
     or compiler-abort regression shows up as an "error:" cell in BENCH
@@ -485,9 +484,15 @@ def bench_compile_smoke(shapes=(256, 512, 1000, 2048, 4096),
     kernel at P=4096, which latched the stress run's runtime fallback).
     Global kernels sweep the camera count (the OOM risk is C-driven);
     the whole-solve WINDOW kernel sweeps the point bucket (its abort was
-    P-driven)."""
+    P-driven).  The swept shapes are DERIVED from the gates
+    (admitted_shapes / admitted_window_shapes, VERDICT r04 #6) — widening
+    a gate automatically widens this smoke."""
     from bundle_adjustment_tpu.ops import ba_global_pallas, ba_grid, ba_pallas
 
+    if shapes is None:
+        shapes = ba_global_pallas.admitted_shapes(D=4)
+    if window_shapes is None:
+        window_shapes = ba_pallas.admitted_window_shapes()
     out = {}
     for C in shapes:
         rng = np.random.default_rng(17)

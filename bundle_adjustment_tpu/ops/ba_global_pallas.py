@@ -836,6 +836,13 @@ def _live_table(slotT, maskT, n_fixed, C_adj, TP, CB, P_pad):
         idx.reshape(-1)].max(1, mode="drop")
 
 
+def eligible_shape_global(C: int, D: int, n_fixed: int = 1) -> bool:
+    """Shape-level gate (see kernel_eligible_global)."""
+    if not (D <= 12 and 0 <= n_fixed < C and C <= 8192):
+        return False
+    return all(_plan(k, C, D) is not None for k in _KERNEL_KINDS)
+
+
 def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
                            ) -> bool:
     """Static gate: the kernels unroll the D slot loop (compile time) and
@@ -843,10 +850,30 @@ def kernel_eligible_global(grid: ba_grid.BAProblemGrid, n_fixed: int = 1
     (same estimate the tile planner uses).  Outside these bounds callers use
     the XLA grid/flat PCG paths."""
     P, D = grid.cam_slot.shape
-    C = grid.rvecs.shape[0]
-    if not (D <= 12 and 0 <= n_fixed < C and C <= 8192):
-        return False
-    return all(_plan(k, C, D) is not None for k in _KERNEL_KINDS)
+    return eligible_shape_global(grid.rvecs.shape[0], D, n_fixed)
+
+
+def admitted_shapes(D: int = 4) -> list:
+    """Camera counts for the hardware compile smoke, DERIVED from the
+    planner instead of a hand-kept list (VERDICT r04 #6: a hand-enumerated
+    smoke can drift from the gate, re-admitting the r03/r04 bug class at
+    the next boundary).  One representative C per distinct compile
+    signature — per-kernel (TP, CB, pregather, split) — choosing the
+    LARGEST C in each bucket (worst case for VMEM, table widths, and the
+    chunk-loop unroll).  Widening a gate creates new signatures, which
+    automatically widens the smoke."""
+    sigs = {}
+    for C in range(2, 8193):
+        plans = [(k, _plan(k, C, D)) for k in _KERNEL_KINDS]
+        if any(p is None for _, p in plans):
+            continue
+        # gather-mode CB is pinned to _ceil8(C) — same code structure at
+        # every C, so it would create a spurious bucket per 8 cameras
+        sig = tuple((k, p.tp, p.pregather, p.split)
+                    + ((p.cb,) if p.pregather else ())
+                    for k, p in plans)
+        sigs[sig] = C          # ascending C: keeps the largest per bucket
+    return sorted(sigs.values())
 
 
 @functools.partial(

@@ -422,18 +422,8 @@ def _lm_solve_values(rv0, tv0, ptT0, onehot, maskT, uvT, pmaskT, params, cfg):
     return rv, tvv, ptT, stats
 
 
-def kernel_eligible(grid: ba_grid.BAProblemGrid, n_fixed: int = 1) -> bool:
-    """Static-bound gate for the fused kernel: the Gauss-Jordan unroll wants
-    a small camera system and everything must fit VMEM (~16 MB/core).  Above
-    these bounds callers use the XLA grid solver or the PCG flat path.
-
-    P <= 2048 is the compile-PROVEN boundary on v5e: at P=4096 the Mosaic
-    compile helper aborts (measured r04 — the first on-hardware stress run
-    latched the runtime fallback on its very first window because this gate
-    admitted P=4096; bench's compile smoke now covers the window kernel so
-    the boundary is re-checked every bench run)."""
-    P, D = grid.cam_slot.shape
-    C = grid.rvecs.shape[0]
+def eligible_shape(C: int, P: int, D: int, n_fixed: int = 1) -> bool:
+    """Shape-level gate (see kernel_eligible)."""
     n = max(C - n_fixed, 1) * 6
     if n > 48 or D > 12 or P > 2048:
         return False
@@ -442,6 +432,40 @@ def kernel_eligible(grid: ba_grid.BAProblemGrid, n_fixed: int = 1) -> bool:
     # onehot (D*C, P), ~70 (1, P) working rows, uv/mask
     est_bytes = 4 * P_pad * (4 * n + D * C + 3 * D + 70)
     return est_bytes < 10 * 1024 * 1024
+
+
+def kernel_eligible(grid: ba_grid.BAProblemGrid, n_fixed: int = 1) -> bool:
+    """Static-bound gate for the fused kernel: the Gauss-Jordan unroll wants
+    a small camera system and everything must fit VMEM (~16 MB/core).  Above
+    these bounds callers use the XLA grid solver or the PCG flat path.
+
+    P <= 2048 is the compile-PROVEN boundary on v5e: at P=4096 the Mosaic
+    compile helper aborts (measured r04 — the first on-hardware stress run
+    latched the runtime fallback on its very first window because this gate
+    admitted P=4096; bench's compile smoke covers the window kernel at the
+    gate-derived buckets (admitted_window_shapes) so the boundary is
+    re-checked every bench run)."""
+    P, D = grid.cam_slot.shape
+    return eligible_shape(grid.rvecs.shape[0], P, D, n_fixed)
+
+
+def admitted_window_shapes(C: int = 6, D: int = 4, n_fixed: int = 1) -> list:
+    """Point buckets for the hardware compile smoke, DERIVED from the gate
+    (VERDICT r04 #6): the pipeline pads gathered windows to power-of-two P
+    buckets, so sweep every pow-2 bucket the gate admits at window scale,
+    plus the first two refused buckets (recorded as "ineligible" so a
+    silently widened gate shows up as a NEW smoked shape, the r04 P=4096
+    bug class)."""
+    shapes, refused = [], 0
+    P = 128
+    while refused < 2 and P <= 1 << 16:
+        if eligible_shape(C, P, D, n_fixed):
+            shapes.append(P)
+        else:
+            refused += 1
+            shapes.append(P)
+        P *= 2
+    return shapes
 
 
 def _kernel(rv_ref, tv_ref, pt_ref, onehot_ref, mask_ref, uv_ref, pmask_ref,

@@ -371,6 +371,30 @@ def test_vmem_tile_picker_budget():
                for k in gp._KERNEL_KINDS)
 
 
+def test_admitted_shapes_follow_gates(monkeypatch):
+    """The compile-smoke sweep is DERIVED from the gates (VERDICT r04 #6):
+    every admitted shape must actually be eligible, the boundary shapes
+    must be present, and a deliberately widened gate must surface as a
+    CHANGED smoke set (the property that prevents a silently-widened gate
+    from shipping unsmoked — the r03/r04 bug class)."""
+    from bundle_adjustment_tpu.ops import ba_pallas
+
+    gp = ba_global_pallas
+    base = gp.admitted_shapes()
+    assert base[-1] == 8192          # eligibility cap is the last bucket
+    assert 512 in base               # gather/pregather boundary bucket
+    assert all(gp.eligible_shape_global(C, 4) for C in base)
+    assert not gp.eligible_shape_global(8193, 4)
+    # window buckets: compile-proven sizes admitted, first refusals recorded
+    w = ba_pallas.admitted_window_shapes()
+    assert 1024 in w and 2048 in w and 4096 in w
+    assert ba_pallas.eligible_shape(6, 2048, 4)
+    assert not ba_pallas.eligible_shape(6, 4096, 4)
+    # a deliberately widened gate produces a different smoke set
+    monkeypatch.setattr(gp, "_VMEM_BUDGET", gp._VMEM_BUDGET * 4)
+    assert set(gp.admitted_shapes()) != set(base)
+
+
 def test_compile_smoke_on_tpu():
     """Hardware-shape compile gate: the fused global kernels must COMPILE at
     every eligible camera count (the r03 VMEM OOM was a compile-time failure
