@@ -28,8 +28,12 @@ import jax
 import jax.numpy as jnp
 
 # first compiles through a remote-compile tunnel can take minutes; persist
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+_JAX_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _JAX_CACHE_DIR)
+# cache sub-second executables too — their sum is the cold start
+# (utils/prewarm.py; VERDICT r04 #7)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 # scipy TRF on the identical problem, measured on this machine's CPU
 # (njev per second; see BASELINE.md) — regenerate with --rebaseline
@@ -739,6 +743,33 @@ def main():
         except Exception as e:  # fps is auxiliary; never fail the bench
             fps = f"error: {e}"
 
+    # first run of a FRESH process with the on-disk compile cache populated
+    # (the passes above populated it): what a deployment's first session
+    # sees on a machine that has run before (VERDICT r04 #7; target within
+    # ~2x of warm vs the 13x cold/warm gap of BENCH_r04)
+    fps_first_cached = None
+    if "--no-fps" not in sys.argv and isinstance(fps, float):
+        try:
+            import subprocess
+
+            env = dict(os.environ, BA_TPU_JAX_CACHE=_JAX_CACHE_DIR)
+            probe = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "fps_bench.py"),
+                 "--first-run-probe", "--frames", "16", "--warmup", "5",
+                 "--platform",
+                 "tpu" if jax.default_backend() == "tpu" else "cpu"],
+                capture_output=True, text=True, timeout=1200, env=env)
+            for line in reversed(probe.stdout.strip().splitlines()):
+                try:
+                    fps_first_cached = json.loads(line)["first_run_fps"]
+                    break
+                except (ValueError, KeyError):
+                    continue
+        except Exception as e:
+            fps_first_cached = f"error: {e}"
+
     baseline = load_baseline()
     vs = it_per_s / baseline if baseline else None
     print(json.dumps({
@@ -806,6 +837,9 @@ def main():
                                  if isinstance(fps, float) else fps),
         "frontend_fps_first_run": (round(fps_cold, 3)
                                    if isinstance(fps_cold, float) else None),
+        "frontend_fps_first_run_cached": (
+            round(fps_first_cached, 3)
+            if isinstance(fps_first_cached, float) else fps_first_cached),
         "frontend_tracked_ms": (round(tracked_ms, 1)
                                 if isinstance(tracked_ms, float) else
                                 tracked_ms),

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="resume from this checkpoint and save back to it at "
                         "the end of the run")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile (or cache-load) the pipeline's shape "
+                        "buckets on a synthetic warmup BEFORE the frame "
+                        "loop (utils/prewarm.py; VERDICT r04 #7 cold start)")
     p.add_argument("--no-pipelined", action="store_true",
                    help="disable pipeline-parallel frame overlap (issue frame "
                         "N+1's fused dispatch only after frame N's readback)")
@@ -96,6 +100,12 @@ def main(argv=None) -> dict:
         import jax
 
         jax.distributed.initialize()
+    # durable on-disk compile cache: a machine only ever compiles a
+    # (function, shape) bucket once (utils/prewarm.py; VERDICT r04 #7)
+    from bundle_adjustment_tpu.utils.prewarm import (enable_persistent_cache,
+                                                     prewarm)
+
+    enable_persistent_cache()
     cfg = PRESETS[args.preset]()
     overrides = {"output_dir": args.out, "debug": args.debug,
                  "export_pcd_series": args.pcd_series}
@@ -141,6 +151,13 @@ def main(argv=None) -> dict:
               f"{resumed_frames} already-processed source frames")
     else:
         pipe = VisualOdometryPipeline(cfg, log=log, use_pallas_matcher=args.pallas)
+
+    if args.prewarm:
+        info = prewarm(cfg, use_pallas=args.pallas)
+        log.emit("prewarm",
+                 f"Prewarm: {info['frames']} synthetic frames in "
+                 f"{info['prewarm_s']} s (shape buckets compiled/cached)",
+                 **info)
 
     if args.images:
         frames = image_folder_frames(args.images)

@@ -83,23 +83,38 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--first-run-probe", action="store_true",
+                    help="fresh-process first-run measurement: ONE pass, "
+                         "persistent compile cache enabled — what a new "
+                         "deployment's first run sees when the on-disk "
+                         "cache is already populated (VERDICT r04 #7)")
     args = ap.parse_args(argv)
 
     import jax
 
+    from bundle_adjustment_tpu.utils.prewarm import enable_persistent_cache
+
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    else:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
+    enable_persistent_cache(os.environ.get("BA_TPU_JAX_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
 
     from bundle_adjustment_tpu.utils.synthetic import synthetic_sequence
 
     frames, K, _, _ = synthetic_sequence(n_frames=args.frames, motion="strafe",
                                          seed=args.seed)
     use_pallas = jax.default_backend() == "tpu"
+
+    if args.first_run_probe:
+        fps1, ms1, nt1, kf1 = run_mode(frames, K, True, args.warmup,
+                                       use_pallas, pipelined=True)
+        out = {"metric": "first_run_fps", "first_run_fps": round(fps1, 3),
+               "tracked_ms": round(ms1, 1) if ms1 == ms1 else None,
+               "tracked_frames": nt1, "keyframes": kf1,
+               "frames": args.frames, "backend": jax.default_backend()}
+        print(json.dumps(out))
+        return out
 
     # fused first so it pays the shared jit compiles; pipelined then measures
     # pure overlap, not cache priming
