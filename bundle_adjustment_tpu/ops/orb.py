@@ -57,13 +57,17 @@ _BORDER = 19           # detection border (sampling radius + 1)
 _NUM_PAIRS = 256
 _NBINS = 30            # rBRIEF steering quantization: 2*pi/30 = 12 degrees
 _DESC_DTYPE = "bfloat16"  # descriptor-matmul operand dtype (see _describe)
-# Cross-level dedup cell (px at level 0; 0 disables).  Measured on the
-# desk/scout scorecard (tools/orb_quality.py): the r03 3px cell suppressed
-# the strongest corners' co-detections and cost ~45% of the essential-RANSAC
-# inliers (317 vs 583 aggregate); 1px removes only true same-pixel
-# duplicates and matches the no-dedup quality while keeping the map free of
-# self-duplicate points.
-_DEDUP_CELL_PX = 1.0
+# Cross-level dedup cell (px at level 0; 0 disables).  Decided on the END
+# metric, not the pairwise proxy (r05 multi-seed study, tools/dedup_study.py,
+# committed artifacts in .dedup_study/): 600-frame stress ATE over 5 seeds is
+# 8.4+-3.8% at 3 px vs 10.0+-3.4% at 1 px, with 3 px winning the per-seed
+# pairing 4/5 — even though 1 px wins the desk/scout pairwise scorecard
+# (tools/orb_quality.py: RANSAC inliers 1.27x cv2 vs 0.69x; r04 measured the
+# suppression of strong corners' co-detections).  The pairwise scorecard is
+# the proxy that lost.  Seed spread is +-3.4-3.8 pp, larger than the 1.6 pp
+# mean gap: any future frontend change must be gated on the multi-seed mean,
+# never a single-seed ATE (BASELINE.md r05).
+_DEDUP_CELL_PX = 3.0
 
 # toggle for the Pallas DMA patch-gather (ops/orb_pallas.py); module-level so
 # a host can fall back to the XLA slice-gather if Mosaic rejects the kernel
