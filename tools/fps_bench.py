@@ -88,6 +88,11 @@ def main(argv=None):
                          "persistent compile cache enabled — what a new "
                          "deployment's first run sees when the on-disk "
                          "cache is already populated (VERDICT r04 #7)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="with --first-run-probe: drive a DIFFERENT synthetic "
+                         "sequence (same shapes) through an unmeasured pass "
+                         "first — the run.py --prewarm deployment mode, "
+                         "moving trace + cache-load cost before frame 0")
     args = ap.parse_args(argv)
 
     import jax
@@ -107,11 +112,20 @@ def main(argv=None):
     use_pallas = jax.default_backend() == "tpu"
 
     if args.first_run_probe:
+        pw_s = None
+        if args.prewarm:
+            t0 = time.time()
+            pw_frames, pw_K, _, _ = synthetic_sequence(
+                n_frames=args.frames, motion="strafe", seed=args.seed + 1)
+            run_mode(pw_frames, pw_K, True, args.warmup, use_pallas,
+                     pipelined=True)
+            pw_s = round(time.time() - t0, 1)
         fps1, ms1, nt1, kf1 = run_mode(frames, K, True, args.warmup,
                                        use_pallas, pipelined=True)
         out = {"metric": "first_run_fps", "first_run_fps": round(fps1, 3),
                "tracked_ms": round(ms1, 1) if ms1 == ms1 else None,
                "tracked_frames": nt1, "keyframes": kf1,
+               "prewarm_s": pw_s,
                "frames": args.frames, "backend": jax.default_backend()}
         print(json.dumps(out))
         return out
